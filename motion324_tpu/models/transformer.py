@@ -1,0 +1,167 @@
+"""Pre-norm transformer blocks with QK-RMSNorm.
+
+Behavioural parity with the reference blocks (reference: model/transformer.py):
+- RMSNorm computed in float32, scaled in input dtype (:30-42);
+- MLP: Linear -> exact GELU -> Linear, no biases (:46-81);
+- self/cross attention with per-head-dim RMSNorm on Q and K (:84-219);
+- pre-norm residual blocks, LayerNorm without bias (:324-423).
+
+All attention routes through :func:`motion324_tpu.ops.attention.multi_head_attention`
+(Pallas flash kernels on TPU). Computation runs in ``dtype`` (bfloat16 by
+default in training configs); parameters are float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from motion324_tpu.ops.attention import multi_head_attention
+
+__all__ = ["RMSNorm", "MLP", "SelfAttention", "CrossAttention",
+           "TransformerBlock", "CrossAttentionBlock"]
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    """RMS normalisation over the last axis; statistics in float32."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        return normed.astype(x.dtype) * weight.astype(x.dtype)
+
+
+class MLP(nn.Module):
+    """Feed-forward block: Dense -> GELU(exact) -> Dense, default no biases."""
+
+    dim: int
+    mlp_ratio: int = 4
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.dim * self.mlp_ratio
+        x = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with optional QK-RMSNorm, fused QKV projection."""
+
+    dim: int
+    head_dim: int = 64
+    use_qk_norm: bool = True
+    qkv_bias: bool = False
+    fc_bias: bool = False
+    dtype: Dtype = jnp.float32
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, _ = x.shape
+        nh = self.dim // self.head_dim
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, l, nh, self.head_dim)
+        k = k.reshape(b, l, nh, self.head_dim)
+        v = v.reshape(b, l, nh, self.head_dim)
+        if self.use_qk_norm:
+            q = RMSNorm(name="q_norm")(q)
+            k = RMSNorm(name="k_norm")(k)
+        out = multi_head_attention(q, k, v, backend=self.attn_backend)
+        out = out.reshape(b, l, self.dim)
+        return nn.Dense(self.dim, use_bias=self.fc_bias, dtype=self.dtype,
+                        name="fc")(out)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head cross-attention (separate Q and KV inputs) with QK-RMSNorm."""
+
+    dim: int
+    head_dim: int = 64
+    use_qk_norm: bool = True
+    qkv_bias: bool = False
+    fc_bias: bool = False
+    dtype: Dtype = jnp.float32
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        b, lq, _ = query.shape
+        lk = key.shape[1]
+        nh = self.dim // self.head_dim
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(query)
+        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(key)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(value)
+        q = q.reshape(b, lq, nh, self.head_dim)
+        k = k.reshape(b, lk, nh, self.head_dim)
+        v = v.reshape(b, lk, nh, self.head_dim)
+        if self.use_qk_norm:
+            q = RMSNorm(name="q_norm")(q)
+            k = RMSNorm(name="k_norm")(k)
+        out = multi_head_attention(q, k, v, backend=self.attn_backend)
+        out = out.reshape(b, lq, self.dim)
+        return nn.Dense(self.dim, use_bias=self.fc_bias, dtype=self.dtype,
+                        name="fc")(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm self-attention block: ``x + attn(ln(x))``, ``x + mlp(ln(x))``."""
+
+    dim: int
+    head_dim: int = 64
+    use_qk_norm: bool = True
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                         name="norm1")(x)
+        x = x + SelfAttention(self.dim, self.head_dim, self.use_qk_norm,
+                              dtype=self.dtype, attn_backend=self.attn_backend,
+                              name="attn")(h)
+        h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(x)
+        return x + MLP(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)
+
+
+class CrossAttentionBlock(nn.Module):
+    """Pre-norm cross-attention block; KV share one LayerNorm (reference :345-369)."""
+
+    dim: int
+    head_dim: int = 64
+    use_qk_norm: bool = True
+    mlp_ratio: int = 4
+    dtype: Dtype = jnp.float32
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, query, key, value):
+        norm_kv = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                               name="norm_kv")
+        qn = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                          name="norm_q")(query)
+        x = query + CrossAttention(self.dim, self.head_dim, self.use_qk_norm,
+                                   dtype=self.dtype, attn_backend=self.attn_backend,
+                                   name="attn")(qn, norm_kv(key), norm_kv(value))
+        h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
+                         name="norm2")(x)
+        return x + MLP(self.dim, self.mlp_ratio, dtype=self.dtype, name="mlp")(h)

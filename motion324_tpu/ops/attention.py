@@ -1,0 +1,73 @@
+"""Attention dispatch: Pallas flash kernels on TPU, fused XLA math elsewhere.
+
+Public entry point for all attention in the framework (self, cross, encoder,
+decoder). The reference routes everything through xformers flash-attn v2
+(reference: model/transformer.py:134-139); here the hot long-sequence paths hit
+the Pallas kernel while small-KV cross-attention (e.g. decoding 4096 query
+points against 64 mesh tokens) stays in plain XLA where a flash schedule would
+only add overhead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from motion324_tpu.ops.flash_attention import flash_attention
+
+__all__ = ["multi_head_attention", "mha_reference"]
+
+# Below this KV length a single fused XLA softmax-matmul chain is at least as
+# fast as a flash schedule and numerically identical.
+_FLASH_MIN_KV = 1024
+
+
+def mha_reference(q, k, v, *, scale: float | None = None):
+    """Exact attention in plain XLA; softmax statistics in float32.
+
+    Args/returns use ``(B, H, S, D)`` layout, matching :func:`flash_attention`.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def multi_head_attention(q, k, v, *, scale: float | None = None,
+                         backend: str | None = None):
+    """Multi-head attention over ``(B, S, H, D)`` tensors (sequence-major layout
+    used by the model code, mirroring the xformers convention).
+
+    Args:
+      q: ``(B, Sq, H, D)``.
+      k, v: ``(B, Sk, H, D)``.
+      scale: logit scale, default ``1/sqrt(D)``.
+      backend: ``None`` (auto), ``"flash"`` (force Pallas), ``"xla"`` or
+        ``"interpret"`` (Pallas interpreter mode, for tests).
+
+    Returns:
+      ``(B, Sq, H, D)``.
+    """
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    if backend is None:
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "flash" if (on_tpu and k.shape[1] >= _FLASH_MIN_KV) else "xla"
+
+    if backend == "xla":
+        out = mha_reference(qt, kt, vt, scale=scale)
+    elif backend == "flash":
+        out = flash_attention(qt, kt, vt, scale=scale)
+    elif backend == "interpret":
+        out = flash_attention(qt, kt, vt, scale=scale, interpret=True)
+    else:
+        raise ValueError(f"unknown attention backend {backend!r}")
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,309 @@
+"""Pallas TPU flash attention (forward + backward) with online softmax.
+
+TPU-native replacement for the reference's xformers ``memory_efficient_attention``
+flash-attn v2 calls (reference: model/transformer.py:134-139, 209-214). Exact
+attention, O(seq) memory, tiled onto the MXU with fp32 accumulation.
+
+Layout: kernels operate on ``(BH, S, D)`` arrays (batch and heads folded), with
+sequence lengths padded to block multiples by the :func:`flash_attention` wrapper.
+Padded KV columns are masked with a large negative logit; Q/K/V/dO are zero-padded,
+which keeps every intermediate finite and makes padded-row contributions to
+dK/dV exactly zero (dO rows are zero => dS rows are zero).
+
+The backward pass is the standard two-kernel flash backward:
+``delta = rowsum(dO * O)`` is precomputed in XLA, then one kernel accumulates
+dK/dV over Q blocks and another accumulates dQ over KV blocks, both recomputing
+``P = exp(S - lse)`` from the saved logsumexp.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention"]
+
+NEG_INF = -1e30
+_LANES = 128  # TPU lane width; scratch row-stat buffers are (block, _LANES)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------------- #
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale: float, kv_len: int, block_kv: int):
+    ikv = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bkv, D)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bkv)
+
+    col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, 0]
+    l_prev = l_scr[:, 0]
+    m_cur = jnp.max(s, axis=1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, None])
+    l_new = alpha * l_prev + jnp.sum(p, axis=1)
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + pv
+    m_scr[:] = jnp.broadcast_to(m_new[:, None], m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new[:, None], l_scr.shape)
+
+    @pl.when(ikv == nkv - 1)
+    def _finalise():
+        l = l_scr[:, 0]
+        # Padded Q rows attend uniformly over real KV (q rows are zero), so l>0.
+        o_ref[0] = (acc_scr[:] / l[:, None]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, 0] + jnp.log(l)
+
+
+def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
+         interpret: bool):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    grid = (bh, sq // block_q, skv // block_kv)
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                               block_kv=block_kv)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# --------------------------------------------------------------------------- #
+# Backward
+# --------------------------------------------------------------------------- #
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale: float, kv_len: int, block_kv: int):
+    ikv = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0][:, None]) * scale
+    dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ikv == nkv - 1)
+    def _finalise():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, scale: float, kv_len: int, block_kv: int):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale  # (bq,bkv)
+    col = pl.program_id(1) * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, None])  # zero dO rows null padded-q contributions
+    pb = p.astype(do.dtype)
+    dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta_ref[0][:, None]) * scale).astype(q.dtype)
+    dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _finalise():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, sq // block_q, skv // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
+            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, skv // block_kv, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0)),
+            pl.BlockSpec((1, block_q), lambda b, ikv, iq: (b, iq)),
+            pl.BlockSpec((1, block_q), lambda b, ikv, iq: (b, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
+            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------------- #
+# custom-vjp core over padded shapes
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_core(q, k, v, scale, kv_len, block_q, block_kv, interpret):
+    o, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
+    o, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(scale, kv_len, block_q, block_kv, interpret, res, do):
+    q, k, v, o, lse = res
+    return _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _pick_block(seq: int, target: int) -> int:
+    """Largest power-of-two block <= target that is >= min tile and <= padded seq."""
+    b = target
+    while b > 128 and b > seq:
+        b //= 2
+    return max(b, 128)
+
+
+def flash_attention(q, k, v, *, scale: float | None = None,
+                    block_q: int = 512, block_kv: int = 512,
+                    interpret: bool = False):
+    """Exact multi-head attention via Pallas flash kernels.
+
+    Args:
+      q: ``(B, H, Sq, D)`` queries.
+      k, v: ``(B, H, Sk, D)`` keys/values.
+      scale: logit scale; defaults to ``1/sqrt(D)``.
+      block_q, block_kv: tile sizes (auto-shrunk for short sequences).
+      interpret: run kernels in interpreter mode (CPU testing).
+
+    Returns:
+      ``(B, H, Sq, D)`` attention output in the dtype of ``q``.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    bq = _pick_block(sq, block_q)
+    bkv = _pick_block(sk, block_kv)
+    sq_p = _ceil_to(sq, bq)
+    sk_p = _ceil_to(sk, bkv)
+
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
+    if sq_p != sq:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        kf = jnp.pad(kf, ((0, 0), (0, sk_p - sk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    o = _flash_core(qf, kf, vf, scale, sk, bq, bkv, interpret)
+    return o[:, :sq].reshape(b, h, sq, d)

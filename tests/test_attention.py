@@ -1,0 +1,88 @@
+"""Flash attention kernel vs exact XLA attention: forward and gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motion324_tpu.ops.attention import mha_reference
+from motion324_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype=jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (324, 324), (100, 640), (640, 100)])
+def test_forward_matches_reference(sq, sk):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 2, 3, 64
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    out = flash_attention(q, k, v, block_q=256, block_kv=256, interpret=True)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_forward_multiblock_online_softmax():
+    # several kv blocks exercises the running-max/renormalisation path
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = _rand(kq, (1, 2, 128, 64)) * 4.0  # large logits stress numerics
+    k = _rand(kk, (1, 2, 512, 64)) * 4.0
+    v = _rand(kv, (1, 2, 512, 64))
+    out = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(256, 256), (200, 450)])
+def test_gradients_match_reference(sq, sk):
+    key = jax.random.PRNGKey(2)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, d = 1, 2, 64
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    cot = _rand(kg, (b, h, sq, d))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+        return jnp.sum(o * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) * cot)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_bf16_forward_close():
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 1, 2, 64
+    q = _rand(kq, (b, h, 256, d), jnp.bfloat16)
+    k = _rand(kk, (b, h, 256, d), jnp.bfloat16)
+    v = _rand(kv, (b, h, 256, d), jnp.bfloat16)
+    out = flash_attention(q, k, v, block_q=128, block_kv=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_custom_scale():
+    key = jax.random.PRNGKey(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = _rand(kq, (1, 1, 128, 64))
+    k = _rand(kk, (1, 1, 128, 64))
+    v = _rand(kv, (1, 1, 128, 64))
+    out = flash_attention(q, k, v, scale=0.5, block_q=128, block_kv=128, interpret=True)
+    ref = mha_reference(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
