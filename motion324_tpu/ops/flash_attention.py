@@ -10,10 +10,11 @@ Padded KV columns are masked with a large negative logit; Q/K/V/dO are zero-padd
 which keeps every intermediate finite and makes padded-row contributions to
 dK/dV exactly zero (dO rows are zero => dS rows are zero).
 
-The backward pass is the standard two-kernel flash backward:
-``delta = rowsum(dO * O)`` is precomputed in XLA, then one kernel accumulates
-dK/dV over Q blocks and another accumulates dQ over KV blocks, both recomputing
-``P = exp(S - lse)`` from the saved logsumexp.
+The logsumexp saved for backward uses the TPU-native lane-replicated layout
+``(BH, S, 128)`` (a (1, bq) block is not lowerable; a (bq, 128) lane tile is),
+and is only emitted when the call is being differentiated. The backward pass is
+the standard two-kernel flash backward; ``delta = rowsum(dO * O)`` is computed
+in-kernel from the saved output instead of materialising a broadcast array.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 NEG_INF = -1e30
-_LANES = 128  # TPU lane width; scratch row-stat buffers are (block, _LANES)
+_LANES = 128  # TPU lane width; row statistics are stored lane-replicated
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -39,8 +40,12 @@ def _ceil_to(x: int, m: int) -> int:
 # --------------------------------------------------------------------------- #
 # Forward
 # --------------------------------------------------------------------------- #
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale: float, kv_len: int, block_kv: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
+                scale: float, kv_len: int, block_kv: int, with_lse: bool):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -82,17 +87,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         l = l_scr[:, 0]
         # Padded Q rows attend uniformly over real KV (q rows are zero), so l>0.
         o_ref[0] = (acc_scr[:] / l[:, None]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, 0] + jnp.log(l)
+        if with_lse:
+            lse = m_scr[:, 0] + jnp.log(l)
+            lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
 def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
-         interpret: bool):
+         interpret: bool, with_lse: bool):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_kv)
     kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
-                               block_kv=block_kv)
-    o, lse = pl.pallas_call(
+                               block_kv=block_kv, with_lse=with_lse)
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, sq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, _LANES),
+                                      lambda b, iq, ikv: (b, iq, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -100,14 +113,8 @@ def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
             pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
             pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -118,13 +125,13 @@ def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
         ),
         interpret=interpret,
     )(q, k, v)
-    return o, lse
+    return (outs[0], outs[1]) if with_lse else (outs[0], None)
 
 
 # --------------------------------------------------------------------------- #
 # Backward
 # --------------------------------------------------------------------------- #
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
                    dq_scr, *, scale: float, kv_len: int, block_kv: int):
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
@@ -138,10 +145,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                             preferred_element_type=jnp.float32) * scale
     col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)  # (bq, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0][:, None]) * scale
+    ds = p * (dp - delta) * scale
     dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -151,7 +160,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, scale: float, kv_len: int, block_kv: int):
     iq = pl.program_id(2)
@@ -167,13 +176,15 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                             preferred_element_type=jnp.float32) * scale  # (bq,bkv)
     col = pl.program_id(1) * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, None])  # zero dO rows null padded-q contributions
+    p = jnp.exp(s - lse_ref[0][:, :1])  # zero dO rows null padded-q contributions
     pb = p.astype(do.dtype)
     dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta_ref[0][:, None]) * scale).astype(q.dtype)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
@@ -186,45 +197,35 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0))
+    kv_spec = pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0))
+    lse_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ikv: (b, iq, 0))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, sq // block_q, skv // block_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, iq, ikv: (b, iq)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0)),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=params,
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, o, do, lse)
 
+    # kv-major grid: scratch accumulates over q blocks (innermost)
+    q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0))
+    kv_spec2 = pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0))
+    lse_spec2 = pl.BlockSpec((1, block_q, _LANES), lambda b, ikv, iq: (b, iq, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, skv // block_kv, sq // block_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0)),
-            pl.BlockSpec((1, block_q), lambda b, ikv, iq: (b, iq)),
-            pl.BlockSpec((1, block_q), lambda b, ikv, iq: (b, iq)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
-            pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0)),
-        ],
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, lse_spec2],
+        out_specs=[kv_spec2, kv_spec2],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
@@ -233,11 +234,9 @@ def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
             pltpu.VMEM((block_kv, d), jnp.float32),
             pltpu.VMEM((block_kv, d), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
+        compiler_params=params,
         interpret=interpret,
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, o, do, lse)
     return dq, dk, dv
 
 
@@ -246,12 +245,14 @@ def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
 # --------------------------------------------------------------------------- #
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_core(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    o, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+    o, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret,
+                with_lse=False)
     return o
 
 
 def _flash_core_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    o, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret)
+    o, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret,
+                  with_lse=True)
     return o, (q, k, v, o, lse)
 
 

@@ -1,0 +1,142 @@
+"""Sharded train step on the virtual 8-device mesh: loss decreases, NaN and
+gradient-spike batches are skipped coherently, accumulation matches big-batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motion324_tpu.config import load_config
+from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+from motion324_tpu.parallel.mesh import batch_sharding, make_mesh
+from motion324_tpu.training.optimizer import create_optimizer
+from motion324_tpu.training.train_step import TrainState, build_train_step
+
+SMALL = ModelConfig(feat_dim=36, tokens=4, pcd_layers=1, n_alternating_layers=2,
+                    head_dim=12, frames=2, image_size=28, patch_size=14,
+                    drop_rate=0.0, dino_depth=1, dino_heads=3)
+
+
+def _batch(key, b=8, s=16, n=8, t=2, h=28, w=28):
+    ks = jax.random.split(key, 8)
+    return {
+        "ref_shape_pcd": jax.random.normal(ks[0], (b, s, 3)),
+        "ref_shape_normals": jax.random.normal(ks[1], (b, s, 3)),
+        "ref_shape_rgbs": jax.random.uniform(ks[2], (b, s, 3)),
+        "ref_pcd": jax.random.normal(ks[3], (b, n, 3)),
+        "ref_normal": jax.random.normal(ks[4], (b, n, 3)),
+        "ref_rgb": jax.random.uniform(ks[5], (b, n, 3)),
+        "rgb_video": jax.random.uniform(ks[6], (b, t, h, w, 3)),
+        "point_clouds": jax.random.normal(ks[7], (b, t, n, 3)) * 0.1,
+    }
+
+
+@pytest.fixture(scope="module")
+def _shared():
+    cfg = load_config("configs/dyscene.yaml",
+                      ["training.warmup=2", "training.train_steps=100",
+                       "training.lr=1e-3",
+                       "training.allowed_gradnorm_factor=1e9"])
+    mesh = make_mesh()
+    model = MotionLatentModel(SMALL)
+    batch = _batch(jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(1), batch)
+    # pristine host copy: step_fn donates its input state buffers
+    params_np = jax.tree.map(np.asarray, params)
+    tx, _ = create_optimizer(cfg)
+    step_fn = build_train_step(model, tx, cfg, mesh)
+    return cfg, mesh, model, batch, params_np, tx, step_fn
+
+
+@pytest.fixture()
+def setup(_shared):
+    cfg, mesh, model, batch, params_np, tx, step_fn = _shared
+    params = jax.tree.map(jnp.asarray, params_np)
+    state = TrainState.create(params, tx)
+    return cfg, mesh, model, batch, state, step_fn
+
+
+def test_loss_decreases(setup):
+    cfg, mesh, model, batch, state, step_fn = setup
+    sharding = batch_sharding(mesh)
+    batch = jax.device_put(batch, sharding)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 8
+
+
+def test_nan_batch_skipped(setup):
+    cfg, mesh, model, batch, state, step_fn = setup
+    sharding = batch_sharding(mesh)
+    bad = dict(batch)
+    # poison ONE sample on one shard: the pmean'd loss must go NaN everywhere
+    bad["rgb_video"] = batch["rgb_video"].at[0].set(jnp.nan)
+    bad = jax.device_put(bad, sharding)
+    step_before = int(state.step)
+    params_before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state2, metrics = step_fn(state, bad, jax.random.PRNGKey(0))
+    assert float(metrics["skipped"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state2.params)[0]),
+                                  params_before)
+    assert int(state2.step) == step_before + 1  # step counter still advances
+
+
+def test_grad_clipping_and_norm_reported(setup):
+    cfg, mesh, model, batch, state, step_fn = setup
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    _, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert float(metrics["grad_norm"]) > 0
+    assert float(metrics["skipped"]) == 0.0
+
+
+def test_grad_accumulation_matches_big_batch():
+    cfg = load_config("configs/dyscene.yaml", ["training.warmup=0",
+                                               "training.train_steps=100",
+                                               "training.lr=1e-2",
+                                               "training.grad_accum_steps=2"])
+    mesh = make_mesh()
+    model = MotionLatentModel(SMALL)
+    big = _batch(jax.random.PRNGKey(5), b=16)
+    params_np = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(1), big))
+    tx, _ = create_optimizer(cfg)
+
+    # accumulated: (accum=2, 8, ...)
+    state_a = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+    step_accum = build_train_step(model, tx, cfg, mesh)
+    split = jax.tree.map(lambda x: x.reshape(2, 8, *x.shape[1:]), big)
+    split = jax.device_put(split, jax.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "dp")))
+    state_a, m_a = step_accum(state_a, split, jax.random.PRNGKey(0))
+
+    # one big batch, accum=1
+    cfg1 = load_config("configs/dyscene.yaml", ["training.warmup=0",
+                                                "training.train_steps=100",
+                                                "training.lr=1e-2"])
+    state_b = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+    step_big = build_train_step(model, tx, cfg1, mesh)
+    big_s = jax.device_put(big, batch_sharding(mesh))
+    state_b, m_b = step_big(state_b, big_s, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5)
+    la = jax.tree.leaves(state_a.params)
+    lb = jax.tree.leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_frozen_encoder_not_updated(setup):
+    cfg, mesh, model, batch, state, step_fn = setup
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    before = jax.tree.map(lambda x: np.asarray(x).copy(),
+                          state.params["params"]["image_encoder"])
+    state2, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    after = state2.params["params"]["image_encoder"]
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
