@@ -31,7 +31,7 @@ def main():
     video = f32(1, T, 224, 224, 3)
     pts = (f32(1, N_PTS, 3), f32(1, N_PTS, 3), f32(1, N_PTS, 3))
 
-    params = model.init(jax.random.PRNGKey(0), {
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), {
         "ref_shape_pcd": shape_args[0], "ref_shape_normals": shape_args[1],
         "ref_shape_rgbs": shape_args[2], "ref_pcd": pts[0][:, :CHUNK],
         "ref_normal": pts[1][:, :CHUNK], "ref_rgb": pts[2][:, :CHUNK],

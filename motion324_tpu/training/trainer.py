@@ -77,7 +77,7 @@ class Trainer:
         self._sharding = batch_sharding(self.mesh)
 
     def init_state(self, example_batch) -> TrainState:
-        params = self.model.init(jax.random.PRNGKey(
+        params = jax.jit(self.model.init)(jax.random.PRNGKey(
             self.cfg.training.get("seed", 0) + 1), example_batch)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         log(f"model initialised: {n_params/1e6:.2f}M params")
