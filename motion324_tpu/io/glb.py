@@ -19,7 +19,7 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["load_glb", "export_glb", "export_animated_glb"]
+__all__ = ["load_glb", "export_glb", "export_animated_glb", "load_animated_glb"]
 
 _MAGIC = 0x46546C67
 _JSON_CHUNK = 0x4E4F534A
@@ -205,6 +205,45 @@ def load_glb(path: str):
     if texture is not None:
         out["texture"] = texture
     return out
+
+
+def load_animated_glb(path: str):
+    """Reconstruct per-frame vertices from a morph-target weights animation.
+
+    Replaces the reference's Blender depsgraph frame extraction
+    (reference: evaluation/evaluation_pcd.py:19-170). Returns
+    ``(base_vertices (V,3), faces (F,3), frames (T,V,3), times (T,))`` for the
+    first animated mesh node; each frame applies that keyframe's morph weights.
+    """
+    with open(path, "rb") as f:
+        gltf, binary = _read_chunks(f.read())
+    anims = gltf.get("animations", [])
+    if not anims:
+        raise ValueError(f"{path} has no animations")
+    anim = anims[0]
+    channel = next(c for c in anim["channels"]
+                   if c["target"].get("path") == "weights")
+    sampler = anim["samplers"][channel["sampler"]]
+    times = _accessor_data(gltf, binary, sampler["input"]).reshape(-1)
+    weights_flat = _accessor_data(gltf, binary, sampler["output"]).reshape(-1)
+
+    node = gltf["nodes"][channel["target"]["node"]]
+    mesh = gltf["meshes"][node["mesh"]]
+    prim = mesh["primitives"][0]
+    base = _accessor_data(gltf, binary, prim["attributes"]["POSITION"]).astype(np.float32)
+    faces = _accessor_data(gltf, binary, prim["indices"]).reshape(-1, 3).astype(np.int64) \
+        if "indices" in prim else np.arange(len(base)).reshape(-1, 3)
+    targets = prim.get("targets", [])
+    n_targets = len(targets)
+    disps = np.stack([
+        _accessor_data(gltf, binary, t["POSITION"]).astype(np.float32)
+        for t in targets]) if n_targets else np.zeros((0, *base.shape), np.float32)
+
+    weights = weights_flat.reshape(len(times), n_targets) if n_targets else \
+        np.zeros((len(times), 0), np.float32)
+    frames = base[None] + np.einsum("tk,kvd->tvd", weights, disps) \
+        if n_targets else np.broadcast_to(base[None], (len(times), *base.shape))
+    return base, faces, frames.astype(np.float32), times
 
 
 # --------------------------------------------------------------------------- #

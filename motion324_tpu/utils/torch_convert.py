@@ -1,0 +1,176 @@
+"""Torch checkpoint -> JAX param-tree conversion.
+
+Converts reference Motion324 checkpoints (``ckpt_*.pt`` with the state-dict
+naming of reference model/Pcd_motion.py:268-344 / model/transformer.py) and
+torch-hub DINOv2 ``dinov2_vitb14`` weights into this framework's flax param
+tree. Conventions:
+
+- torch ``nn.Linear.weight`` is ``(out, in)`` -> flax ``Dense.kernel`` is
+  ``(in, out)`` (transposed);
+- torch ``Conv2d.weight`` is ``(out, in, kh, kw)`` -> flax ``Conv.kernel`` is
+  ``(kh, kw, in, out)``;
+- the reference's ``pos_embed`` buffer is dropped (our pos-embed is computed;
+  the reference itself deletes it at load time — utils/inference_utils.py:39-40);
+- the head ``shared_mlp_output`` Sequential maps to head_norm/head_fc1/head_fc2
+  (reference model/Pcd_motion.py:336-341).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["convert_motion_checkpoint", "convert_dinov2_vitb14",
+           "load_torch_state_dict"]
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a .pt checkpoint on CPU and return the model state dict."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("model", obj) if isinstance(obj, dict) else obj
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def _dense(sd, name):
+    p = {"kernel": sd[f"{name}.weight"].T.astype(np.float32)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
+def _ln(sd, name):
+    p = {"scale": sd[f"{name}.weight"].astype(np.float32)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
+def _rms(sd, name):
+    return {"weight": sd[f"{name}.weight"].astype(np.float32)}
+
+
+def _self_attn(sd, name, use_qk_norm=True):
+    out = {
+        "to_qkv": _dense(sd, f"{name}.to_qkv"),
+        "fc": _dense(sd, f"{name}.fc"),
+    }
+    if use_qk_norm:
+        out["q_norm"] = _rms(sd, f"{name}.q_norm")
+        out["k_norm"] = _rms(sd, f"{name}.k_norm")
+    return out
+
+
+def _cross_attn(sd, name, use_qk_norm=True):
+    out = {
+        "to_q": _dense(sd, f"{name}.to_q"),
+        "to_k": _dense(sd, f"{name}.to_k"),
+        "to_v": _dense(sd, f"{name}.to_v"),
+        "fc": _dense(sd, f"{name}.fc"),
+    }
+    if use_qk_norm:
+        out["q_norm"] = _rms(sd, f"{name}.q_norm")
+        out["k_norm"] = _rms(sd, f"{name}.k_norm")
+    return out
+
+
+def _mlp(sd, name):
+    # reference MLP is nn.Sequential(Linear, GELU, Linear, Dropout): mlp.0 / mlp.2
+    return {"fc1": _dense(sd, f"{name}.mlp.0"),
+            "fc2": _dense(sd, f"{name}.mlp.2")}
+
+
+def _self_block(sd, name, use_qk_norm=True):
+    return {
+        "norm1": _ln(sd, f"{name}.norm1"),
+        "attn": _self_attn(sd, f"{name}.attn", use_qk_norm),
+        "norm2": _ln(sd, f"{name}.norm2"),
+        "mlp": _mlp(sd, f"{name}.mlp"),
+    }
+
+
+def _cross_block(sd, name, use_qk_norm=True):
+    return {
+        "norm_q": _ln(sd, f"{name}.norm_q"),
+        "norm_kv": _ln(sd, f"{name}.norm_kv"),
+        "attn": _cross_attn(sd, f"{name}.attn", use_qk_norm),
+        "norm2": _ln(sd, f"{name}.norm2"),
+        "mlp": _mlp(sd, f"{name}.mlp"),
+    }
+
+
+def convert_motion_checkpoint(sd: dict, n_pairs: int = 8, pcd_layers: int = 4,
+                              use_qk_norm: bool = True,
+                              dino: dict | None = None) -> dict:
+    """Reference Motion_Latent_Model state dict -> our flax ``{'params': ...}``.
+
+    ``dino``: optionally a converted DINOv2 param tree to splice in (the
+    reference checkpoint embeds the frozen encoder under ``image_encoder.model``
+    in torch-hub naming).
+    """
+    params: dict = {
+        "learnable_tokens": sd["learnable_tokens"].astype(np.float32),
+        "special_token_0": sd["special_token_0"].astype(np.float32),
+        "special_token_rest": sd["special_token_rest"].astype(np.float32),
+        "point_embed_mlp": _dense(sd, "point_embed.mlp"),
+        "point_normal_rgb_proj": _dense(sd, "point_normal_rgb_proj"),
+        "encoder_cross_attn": _cross_block(sd, "encoder_cross_attn", use_qk_norm),
+        "decoder_cross_attn": _cross_block(sd, "decoder_cross_attn", use_qk_norm),
+        "input_layernorm": _ln(sd, "transformer_input_layernorm"),
+        "head_norm": _ln(sd, "shared_mlp_output.0"),
+        "head_fc1": _dense(sd, "shared_mlp_output.1"),
+        "head_fc2": _dense(sd, "shared_mlp_output.3"),
+    }
+    for i in range(pcd_layers):
+        params[f"pcd_block_{i}"] = _self_block(
+            sd, f"points_transformer_blocks.{i}", use_qk_norm)
+    for i in range(n_pairs):
+        params[f"global_block_{i}"] = _self_block(
+            sd, f"global_transformer_blocks.{i}", use_qk_norm)
+        params[f"local_block_{i}"] = _self_block(
+            sd, f"local_transformer_blocks.{i}", use_qk_norm)
+
+    if dino is not None:
+        params["image_encoder"] = dino
+    else:
+        dino_sd = {k.removeprefix("image_encoder.model."): v
+                   for k, v in sd.items()
+                   if k.startswith("image_encoder.model.")}
+        if dino_sd:
+            params["image_encoder"] = convert_dinov2_vitb14(dino_sd)
+    return {"params": params}
+
+
+def convert_dinov2_vitb14(sd: dict, depth: int = 12) -> dict:
+    """torch-hub DINOv2 state dict -> our DinoViT param tree.
+
+    torch-hub naming: patch_embed.proj, cls_token, pos_embed,
+    blocks.{i}.{norm1,attn.qkv,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,ls2.gamma},
+    norm.
+    """
+    conv_w = sd["patch_embed.proj.weight"]  # (C, 3, 14, 14)
+    params: dict = {
+        "patch_embed": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": sd["patch_embed.proj.bias"].astype(np.float32),
+        },
+        "cls_token": sd["cls_token"].astype(np.float32),
+        "pos_embed": sd["pos_embed"].astype(np.float32),
+        "norm": _ln(sd, "norm"),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": {"qkv": _dense(sd, f"{b}.attn.qkv"),
+                     "proj": _dense(sd, f"{b}.attn.proj")},
+            "ls1_gamma": sd[f"{b}.ls1.gamma"].astype(np.float32),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp_fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{b}.mlp.fc2"),
+            "ls2_gamma": sd[f"{b}.ls2.gamma"].astype(np.float32),
+        }
+    return params

@@ -1,0 +1,156 @@
+"""Torch->JAX conversion: structural match with model.init and numerical parity
+of a converted transformer block against an independent torch implementation of
+the reference math (QK-RMSNorm pre-norm block, model/transformer.py:30-423)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+from motion324_tpu.models.transformer import TransformerBlock
+from motion324_tpu.utils.torch_convert import (convert_motion_checkpoint,
+                                               _self_block)
+
+DIM, HEAD = 36, 12
+N_PAIRS, PCD_LAYERS = 1, 1
+
+SMALL = ModelConfig(feat_dim=DIM, tokens=4, pcd_layers=PCD_LAYERS,
+                    n_alternating_layers=2 * N_PAIRS, head_dim=HEAD, frames=2,
+                    image_size=28, patch_size=14, drop_rate=0.0,
+                    dino_depth=1, dino_heads=3)
+
+
+def _rand_sd(rng):
+    """Synthesize a reference-named state dict for the small config."""
+    sd = {}
+
+    def dense(name, din, dout, bias=False):
+        sd[f"{name}.weight"] = rng.randn(dout, din).astype(np.float32) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = rng.randn(dout).astype(np.float32) * 0.05
+
+    def ln(name, d, bias=False):
+        sd[f"{name}.weight"] = rng.rand(d).astype(np.float32) + 0.5
+        if bias:
+            sd[f"{name}.bias"] = rng.randn(d).astype(np.float32) * 0.05
+
+    def rms(name, d):
+        sd[f"{name}.weight"] = rng.rand(d).astype(np.float32) + 0.5
+
+    def self_block(name):
+        ln(f"{name}.norm1", DIM)
+        dense(f"{name}.attn.to_qkv", DIM, 3 * DIM)
+        dense(f"{name}.attn.fc", DIM, DIM)
+        rms(f"{name}.attn.q_norm", HEAD)
+        rms(f"{name}.attn.k_norm", HEAD)
+        ln(f"{name}.norm2", DIM)
+        dense(f"{name}.mlp.mlp.0", DIM, 4 * DIM)
+        dense(f"{name}.mlp.mlp.2", 4 * DIM, DIM)
+
+    def cross_block(name):
+        ln(f"{name}.norm_q", DIM)
+        ln(f"{name}.norm_kv", DIM)
+        dense(f"{name}.attn.to_q", DIM, DIM)
+        dense(f"{name}.attn.to_k", DIM, DIM)
+        dense(f"{name}.attn.to_v", DIM, DIM)
+        dense(f"{name}.attn.fc", DIM, DIM)
+        rms(f"{name}.attn.q_norm", HEAD)
+        rms(f"{name}.attn.k_norm", HEAD)
+        ln(f"{name}.norm2", DIM)
+        dense(f"{name}.mlp.mlp.0", DIM, 4 * DIM)
+        dense(f"{name}.mlp.mlp.2", 4 * DIM, DIM)
+
+    sd["learnable_tokens"] = rng.randn(1, 4, DIM).astype(np.float32)
+    sd["special_token_0"] = rng.randn(1, 4, DIM).astype(np.float32)
+    sd["special_token_rest"] = rng.randn(1, 4, DIM).astype(np.float32)
+    dense("point_embed.mlp", 51, DIM, bias=True)
+    dense("point_normal_rgb_proj", DIM + 6, DIM, bias=True)
+    cross_block("encoder_cross_attn")
+    cross_block("decoder_cross_attn")
+    ln("transformer_input_layernorm", DIM)
+    ln("shared_mlp_output.0", DIM, bias=True)
+    dense("shared_mlp_output.1", DIM, DIM, bias=True)
+    dense("shared_mlp_output.3", DIM, 3, bias=True)
+    for i in range(PCD_LAYERS):
+        self_block(f"points_transformer_blocks.{i}")
+    for i in range(N_PAIRS):
+        self_block(f"global_transformer_blocks.{i}")
+        self_block(f"local_transformer_blocks.{i}")
+    return sd
+
+
+def test_convert_structure_matches_init():
+    sd = _rand_sd(np.random.RandomState(0))
+    converted = convert_motion_checkpoint(sd, n_pairs=N_PAIRS,
+                                          pcd_layers=PCD_LAYERS)
+
+    model = MotionLatentModel(SMALL)
+    sample = {
+        "ref_shape_pcd": np.zeros((1, 8, 3), np.float32),
+        "ref_shape_normals": np.zeros((1, 8, 3), np.float32),
+        "ref_shape_rgbs": np.zeros((1, 8, 3), np.float32),
+        "ref_pcd": np.zeros((1, 8, 3), np.float32),
+        "ref_normal": np.zeros((1, 8, 3), np.float32),
+        "ref_rgb": np.zeros((1, 8, 3), np.float32),
+        "rgb_video": np.zeros((1, 2, 28, 28, 3), np.float32),
+    }
+    init = model.init(jax.random.PRNGKey(0), sample)["params"]
+    conv = converted["params"]
+
+    missing_in_conv = set(init) - set(conv) - {"image_encoder"}
+    assert not missing_in_conv, missing_in_conv
+    for key in conv:
+        init_shapes = jax.tree.map(lambda a: a.shape, init[key])
+        conv_shapes = jax.tree.map(lambda a: a.shape, conv[key])
+        assert init_shapes == conv_shapes, (key, init_shapes, conv_shapes)
+
+
+def _torch_block(sd, prefix, x):
+    """Reference transformer-block math in torch (model/transformer.py:379-423),
+    written from the formulas: pre-LN (no bias), fused qkv, per-head RMSNorm on
+    q/k (eps 1e-5), softmax attention, fc, pre-LN MLP with exact GELU."""
+    x = torch.from_numpy(x)
+
+    def ln(t, name):
+        w = torch.from_numpy(sd[f"{name}.weight"])
+        return torch.nn.functional.layer_norm(t, (DIM,), weight=w, eps=1e-5)
+
+    def rmsnorm(t, name):
+        w = torch.from_numpy(sd[f"{name}.weight"])
+        out = t * torch.rsqrt(t.pow(2).mean(-1, keepdim=True) + 1e-5)
+        return out * w
+
+    h = ln(x, f"{prefix}.norm1")
+    qkv = h @ torch.from_numpy(sd[f"{prefix}.attn.to_qkv.weight"]).T
+    q, k, v = qkv.chunk(3, dim=-1)
+    b, l, _ = q.shape
+    nh = DIM // HEAD
+    q = q.view(b, l, nh, HEAD)
+    k = k.view(b, l, nh, HEAD)
+    v = v.view(b, l, nh, HEAD)
+    q = rmsnorm(q, f"{prefix}.attn.q_norm")
+    k = rmsnorm(k, f"{prefix}.attn.k_norm")
+    att = torch.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(HEAD)
+    att = att.softmax(dim=-1)
+    o = torch.einsum("bhlm,bmhd->blhd", att, v).reshape(b, l, DIM)
+    o = o @ torch.from_numpy(sd[f"{prefix}.attn.fc.weight"]).T
+    x = x + o
+    h = ln(x, f"{prefix}.norm2")
+    h = h @ torch.from_numpy(sd[f"{prefix}.mlp.mlp.0.weight"]).T
+    h = torch.nn.functional.gelu(h)
+    h = h @ torch.from_numpy(sd[f"{prefix}.mlp.mlp.2.weight"]).T
+    return (x + h).numpy()
+
+
+def test_block_numerical_parity_with_torch():
+    rng = np.random.RandomState(1)
+    sd = _rand_sd(rng)
+    prefix = "global_transformer_blocks.0"
+    params = {"params": _self_block(sd, prefix)}
+
+    x = rng.randn(2, 10, DIM).astype(np.float32)
+    block = TransformerBlock(dim=DIM, head_dim=HEAD, use_qk_norm=True)
+    ours = np.asarray(block.apply(params, jnp.asarray(x)))
+    theirs = _torch_block(sd, prefix, x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=2e-5)
