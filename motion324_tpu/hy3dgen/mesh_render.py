@@ -1,0 +1,158 @@
+"""Multi-view mesh renderer over the Pallas rasterizer.
+
+The front-end the texture pipeline drives (equivalent of the reference's
+``MeshRender``, reference:
+scripts/hy3dgen/texgen/differentiable_renderer/mesh_render.py:120-823):
+orthographic orbit cameras, normal / position / depth / mask rendering via
+barycentric interpolation, UV-space rasterization for baking, and image ->
+texture back-projection with cosine-power view weighting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from motion324_tpu.hy3dgen.camera import (orthographic, transform_points,
+                                          view_matrix)
+from motion324_tpu.io.mesh import TriMesh, face_normals, vertex_normals
+from motion324_tpu.ops.rasterizer import interpolate, rasterize
+
+__all__ = ["MeshRenderer"]
+
+
+class MeshRenderer:
+    """Renders one normalised mesh from orbit cameras (ortho by default)."""
+
+    def __init__(self, mesh: TriMesh, resolution: int = 512,
+                 texture_size: int = 1024, camera_distance: float = 1.45,
+                 ortho_scale: float = 1.2, interpret: bool = False):
+        self.mesh = mesh
+        self.resolution = resolution
+        self.texture_size = texture_size
+        self.camera_distance = camera_distance
+        s = ortho_scale / 2
+        self.proj = orthographic(-s, s, -s, s, 0.1, 100.0)
+        self.interpret = interpret
+        self._vn = vertex_normals(mesh.vertices, mesh.faces)
+
+    # ------------------------------------------------------------------ #
+    def _clip_positions(self, elev: float, azim: float) -> np.ndarray:
+        mv = view_matrix(elev, azim, self.camera_distance)
+        return transform_points(self.proj @ mv, self.mesh.vertices)
+
+    def render_view(self, elev: float, azim: float) -> dict:
+        """Render one view: returns dict with ``mask``, ``depth``, ``normal``
+        (world-space, [-1,1]), ``position`` (world-space xyz) images."""
+        pos_clip = self._clip_positions(elev, azim)
+        find, bary = rasterize(pos_clip, self.mesh.faces, self.resolution,
+                               self.resolution, interpret=self.interpret)
+        faces = jnp.asarray(self.mesh.faces)
+        mask = np.asarray(find) > 0
+
+        normal = np.asarray(interpolate(jnp.asarray(self._vn), find, bary, faces))
+        norm = np.linalg.norm(normal, axis=-1, keepdims=True)
+        normal = normal / np.where(norm == 0, 1.0, norm)
+
+        position = np.asarray(interpolate(jnp.asarray(self.mesh.vertices),
+                                          find, bary, faces))
+        z = np.asarray(interpolate(
+            jnp.asarray(pos_clip[:, 2:3] / pos_clip[:, 3:4]), find, bary, faces))
+        return {"mask": mask, "normal": normal, "position": position,
+                "depth": z[..., 0], "findices": np.asarray(find),
+                "bary": np.asarray(bary)}
+
+    # ------------------------------------------------------------------ #
+    def rasterize_uv(self):
+        """Rasterize the mesh's UV atlas: which face covers each texel.
+
+        Equivalent of the reference's UV-space pass used for baking
+        (mesh_render.py:566-622): UV coordinates become clip-space xy.
+        """
+        uv = self.mesh.uv
+        if uv is None:
+            raise ValueError("mesh has no UV coordinates")
+        # uv in [0,1] -> clip [-1,1]; V axis flipped (texture row 0 = v=1)
+        pos = np.zeros((len(uv), 4), np.float32)
+        pos[:, 0] = uv[:, 0] * 2 - 1
+        pos[:, 1] = 1 - 2 * uv[:, 1]
+        pos[:, 3] = 1.0
+        return rasterize(pos, self.mesh.faces, self.texture_size,
+                         self.texture_size, interpret=self.interpret)
+
+    def back_project(self, view_image: np.ndarray, elev: float, azim: float,
+                     uv_find=None, uv_bary=None, cos_power: float = 4.0):
+        """Project a rendered/generated view image into UV texture space.
+
+        For every texel covered by the atlas, its 3D surface point is
+        projected into the view; the image color there is sampled bilinearly
+        and weighted by ``cos^power`` of the angle between the surface normal
+        and the view direction (reference mesh_render.py:653-757 visibility
+        weighting). Returns ``(texture (S,S,3), weight (S,S,1))``.
+        """
+        if uv_find is None or uv_bary is None:
+            uv_find, uv_bary = self.rasterize_uv()
+        faces = jnp.asarray(self.mesh.faces)
+        texel_pos = interpolate(jnp.asarray(self.mesh.vertices), uv_find,
+                                uv_bary, faces)  # (S,S,3)
+        texel_nrm = interpolate(jnp.asarray(self._vn), uv_find, uv_bary, faces)
+        covered = (np.asarray(uv_find) > 0)
+
+        mv = view_matrix(elev, azim, self.camera_distance)
+        clip = transform_points(self.proj @ mv,
+                                np.asarray(texel_pos).reshape(-1, 3))
+        ndc = clip[:, :2] / clip[:, 3:4]
+        h, w = view_image.shape[:2]
+        px = (ndc[:, 0] * 0.5 + 0.5) * (w - 1)
+        py = (0.5 + 0.5 * ndc[:, 1]) * (h - 1)
+
+        color = _bilinear(view_image, px, py).reshape(
+            self.texture_size, self.texture_size, -1)
+
+        # visibility: z-test against the view depth buffer
+        view = self.render_view(elev, azim)
+        depth_img = view["depth"]
+        z_tex = (clip[:, 2] / clip[:, 3]).reshape(self.texture_size,
+                                                  self.texture_size)
+        z_ref = _bilinear(depth_img[..., None], px, py)[:, 0].reshape(
+            self.texture_size, self.texture_size)
+        visible = np.abs(z_tex - z_ref) < 1e-2
+
+        cam_dir = -(np.linalg.inv(mv[:3, :3]) @ np.array([0, 0, -1.0]))
+        cosang = np.asarray(texel_nrm) @ cam_dir.astype(np.float32)
+        weight = np.clip(cosang, 0, 1) ** cos_power
+        weight = weight * covered * visible
+        return np.asarray(color) * weight[..., None], weight[..., None]
+
+    def bake(self, view_images, views, cos_power: float = 4.0,
+             view_weights=None):
+        """Merge several views into one texture by normalised weighted sum
+        (reference mesh_render.py:782-798 ``fast_bake_texture``).
+
+        ``views``: list of (azim, elev, weight) tuples.
+        Returns ``(texture (S,S,3), weight_mask (S,S))``.
+        """
+        uv_find, uv_bary = self.rasterize_uv()
+        acc = np.zeros((self.texture_size, self.texture_size, 3), np.float32)
+        wacc = np.zeros((self.texture_size, self.texture_size, 1), np.float32)
+        for img, (azim, elev, vw) in zip(view_images, views):
+            c, w = self.back_project(img, elev, azim, uv_find, uv_bary,
+                                     cos_power)
+            acc += c * vw
+            wacc += w * vw
+        tex = acc / np.maximum(wacc, 1e-8)
+        return tex, wacc[..., 0] > 1e-8
+
+
+def _bilinear(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    x0 = np.clip(np.floor(px).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(py).astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(px - x0, 0, 1)[:, None]
+    fy = np.clip(py - y0, 0, 1)[:, None]
+    c = (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+         + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+    return c.astype(np.float32)

@@ -1,0 +1,277 @@
+"""TPU-native triangle rasterizer (Pallas) + numpy oracle.
+
+Replaces the reference's C++/CUDA ``custom_rasterizer_kernel`` (reference:
+scripts/hy3dgen/texgen/custom_rasterizer/lib/custom_rasterizer_kernel/
+rasterizer.cpp:3-139, rasterizer_gpu.cu:3-127) with the same visibility
+semantics:
+
+- screen mapping ``x = (x/w * 0.5 + 0.5) * (W-1) + 0.5`` (same for y),
+  ``z = z/w * 0.49999 + 0.5``; pixel centers at ``(px+0.5, py+0.5)``;
+- inside test: all barycentrics in [0, 1] (degenerate faces rejected);
+- nearest face wins by the packed-token order ``z_quantized * MAXINT + face+1``
+  with ``z_quantized = int(depth * 2^18)`` — i.e. smaller quantized depth
+  first, smaller face id on ties. The reference resolves this with an
+  ``atomicMin`` on an int64 token; on TPU the same order is computed with a
+  two-key (depth, face) running min — no atomics, deterministic by
+  construction;
+- output ``findices`` is face_id + 1 (0 = background) and per-pixel
+  perspective-corrected barycentrics (reference rasterizer.cpp:41-79).
+
+Design: the face loop of the reference becomes a (pixel-tile x face-chunk)
+Pallas grid. Each kernel instance evaluates a (PIXELS x FACES) tile of affine
+edge functions on the VPU and folds it into per-pixel running minima held in
+VMEM scratch — O(P*F) fully vectorised work instead of scalar bbox loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rasterize", "rasterize_reference", "screen_coefficients",
+           "interpolate"]
+
+_BIG_Z = np.int32(2 ** 30)
+_BIG_F = np.int32(2 ** 30)
+_LANES = 128
+
+
+def _screen_transform(pos: np.ndarray, width: int, height: int):
+    """Clip-space (V,4) -> per-vertex screen x, y, z and 1/w."""
+    w = pos[..., 3]
+    x = (pos[..., 0] / w * 0.5 + 0.5) * (width - 1) + 0.5
+    y = (0.5 + 0.5 * pos[..., 1] / w) * (height - 1) + 0.5
+    z = pos[..., 2] / w * 0.49999 + 0.5
+    return x, y, z, 1.0 / w
+
+
+def screen_coefficients(pos, faces, width: int, height: int):
+    """Precompute per-face affine barycentric coefficients (XLA/numpy).
+
+    Returns a ``(10, F)`` float32 matrix: rows are
+    ``[bx, by, b0, gx, gy, g0, z0, z1, z2, valid]`` where
+    ``beta(px,py) = bx*px + by*py + b0`` (already divided by the doubled signed
+    area) and similarly gamma; ``alpha = 1 - beta - gamma``.
+    """
+    xp = jnp if isinstance(pos, jax.Array) else np
+    x, y, z, _ = _screen_transform(pos, width, height)
+    ax, ay = x[faces[:, 0]], y[faces[:, 0]]
+    bx_, by_ = x[faces[:, 1]], y[faces[:, 1]]
+    cx, cy = x[faces[:, 2]], y[faces[:, 2]]
+    area = (cx - ax) * (by_ - ay) - (bx_ - ax) * (cy - ay)
+    valid = xp.abs(area) > 0
+    inv = xp.where(valid, 1.0 / xp.where(valid, area, 1.0), 0.0)
+    # beta = area2(a, p, c) / area = ((c-a) x (p-a)) order per reference
+    bx = -(cy - ay) * inv
+    by = (cx - ax) * inv
+    b0 = ((cy - ay) * ax - (cx - ax) * ay) * inv
+    # gamma = area2(a, b, p) / area
+    gx = (by_ - ay) * inv
+    gy = -(bx_ - ax) * inv
+    g0 = (-(by_ - ay) * ax + (bx_ - ax) * ay) * inv
+    coeffs = xp.stack([bx, by, b0, gx, gy, g0,
+                       z[faces[:, 0]], z[faces[:, 1]], z[faces[:, 2]],
+                       valid.astype(xp.float32)])
+    return coeffs.astype(xp.float32)
+
+
+# --------------------------------------------------------------------------- #
+# Pallas kernel
+# --------------------------------------------------------------------------- #
+def _raster_kernel(coeff_ref, zout_ref, fout_ref, zscr, fscr,
+                   *, width: int, block_px: int, block_f: int, num_faces: int):
+    ip = pl.program_id(0)
+    ic = pl.program_id(1)
+    nc = pl.num_programs(1)
+
+    @pl.when(ic == 0)
+    def _init():
+        zscr[:] = jnp.full_like(zscr, _BIG_Z)
+        fscr[:] = jnp.full_like(fscr, _BIG_F)
+
+    flat = ip * block_px + jax.lax.broadcasted_iota(
+        jnp.int32, (block_px, 1), 0)  # (P, 1)
+    px = (flat % width).astype(jnp.float32) + 0.5
+    py = (flat // width).astype(jnp.float32) + 0.5
+
+    c = coeff_ref[:]  # (10, block_f)
+    bx, by, b0 = c[0][None], c[1][None], c[2][None]
+    gx, gy, g0 = c[3][None], c[4][None], c[5][None]
+    z0, z1, z2 = c[6][None], c[7][None], c[8][None]
+    valid = c[9][None] > 0.5
+
+    beta = bx * px + by * py + b0        # (P, F)
+    gamma = gx * px + gy * py + g0
+    alpha = 1.0 - beta - gamma
+    inside = valid & \
+        (alpha >= 0) & (alpha <= 1) & (beta >= 0) & (beta <= 1) & \
+        (gamma >= 0) & (gamma <= 1)
+
+    depth = alpha * z0 + beta * z1 + gamma * z2
+    zq = (depth * float(2 << 17)).astype(jnp.int32)
+    fid = ic * block_f + jax.lax.broadcasted_iota(
+        jnp.int32, (block_px, block_f), 1)
+    inside = inside & (fid < num_faces)
+
+    zq = jnp.where(inside, zq, _BIG_Z)
+    # per-pixel chunk minimum: depth first, face id tie-break
+    z_min = jnp.min(zq, axis=1)  # (P,)
+    f_min = jnp.min(jnp.where(zq == z_min[:, None], fid, _BIG_F), axis=1)
+
+    z_prev = zscr[:, 0]
+    f_prev = fscr[:, 0]
+    take = (z_min < z_prev) | ((z_min == z_prev) & (f_min < f_prev))
+    z_new = jnp.where(take, z_min, z_prev)
+    f_new = jnp.where(take, f_min, f_prev)
+    zscr[:] = jnp.broadcast_to(z_new[:, None], zscr.shape)
+    fscr[:] = jnp.broadcast_to(f_new[:, None], fscr.shape)
+
+    @pl.when(ic == nc - 1)
+    def _finalise():
+        zout_ref[:] = zscr[:, :1].reshape(zout_ref.shape)
+        # coverage is decided by depth: an all-masked pixel still carries the
+        # minimum PAD face id, but its z stays at the sentinel
+        covered = zscr[:, :1] < _BIG_Z
+        fout_ref[:] = jnp.where(covered, fscr[:, :1] + 1, 0).reshape(fout_ref.shape)
+
+
+def _ceil_to(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def rasterize(pos, faces, width: int, height: int, *,
+              block_px: int = 512, block_f: int = 256,
+              interpret: bool = False):
+    """Rasterize clip-space triangles on TPU.
+
+    Args:
+      pos: ``(V, 4)`` clip-space positions.
+      faces: ``(F, 3)`` int32 vertex indices.
+      width, height: output resolution.
+
+    Returns:
+      ``(findices (H, W) int32, bary (H, W, 3) float32)`` — findices is
+      face_id + 1 with 0 for background; barycentrics are
+      perspective-corrected (w-divided and renormalised, reference
+      rasterizer.cpp:64-76).
+    """
+    pos = jnp.asarray(pos, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    num_faces = faces.shape[0]
+    coeffs = screen_coefficients(pos, faces, width, height)  # (10, F)
+
+    f_pad = _ceil_to(max(num_faces, block_f), block_f)
+    coeffs = jnp.pad(coeffs, ((0, 0), (0, f_pad - num_faces)))
+
+    n_pix = width * height
+    px_pad = _ceil_to(n_pix, block_px)
+    grid = (px_pad // block_px, f_pad // block_f)
+
+    kernel = functools.partial(_raster_kernel, width=width, block_px=block_px,
+                               block_f=block_f, num_faces=num_faces)
+    zbuf, find = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((10, block_f), lambda ip, ic: (0, ic))],
+        out_specs=[
+            pl.BlockSpec((block_px,), lambda ip, ic: (ip,)),
+            pl.BlockSpec((block_px,), lambda ip, ic: (ip,)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((px_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((px_pad,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_px, _LANES), jnp.int32),
+            pltpu.VMEM((block_px, _LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(coeffs)
+
+    findices = find[:n_pix].reshape(height, width)
+    bary = _barycentrics(pos, faces, findices, width, height)
+    return findices, bary
+
+
+def _barycentrics(pos, faces, findices, width: int, height: int):
+    """Perspective-corrected barycentrics for the winning faces (pure XLA)."""
+    x, y, _, inv_w = _screen_transform(pos, width, height)
+    fidx = jnp.maximum(findices - 1, 0)  # (H, W)
+    tri = faces[fidx]  # (H, W, 3)
+    ax, ay = x[tri[..., 0]], y[tri[..., 0]]
+    bx_, by_ = x[tri[..., 1]], y[tri[..., 1]]
+    cx, cy = x[tri[..., 2]], y[tri[..., 2]]
+    py, px = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + 0.5,
+                          jnp.arange(width, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+    area = (cx - ax) * (by_ - ay) - (bx_ - ax) * (cy - ay)
+    inv = jnp.where(jnp.abs(area) > 0, 1.0 / jnp.where(area == 0, 1.0, area), 0.0)
+    beta = ((cx - ax) * (py - ay) - (px - ax) * (cy - ay)) * inv
+    gamma = ((px - ax) * (by_ - ay) - (bx_ - ax) * (py - ay)) * inv
+    alpha = 1.0 - beta - gamma
+    bary = jnp.stack([alpha, beta, gamma], axis=-1)
+    bw = bary * jnp.stack([inv_w[tri[..., 0]], inv_w[tri[..., 1]],
+                           inv_w[tri[..., 2]]], axis=-1)
+    bary_pc = bw / jnp.sum(bw, axis=-1, keepdims=True)
+    covered = (findices > 0)[..., None]
+    return jnp.where(covered, bary_pc, 0.0).astype(jnp.float32)
+
+
+def interpolate(attrs, findices, bary, faces):
+    """Gather + barycentric-blend per-vertex attributes onto the image
+    (reference custom_rasterizer/render.py:26-31)."""
+    fidx = jnp.maximum(findices - 1, 0)
+    tri = faces[fidx]  # (H, W, 3)
+    vals = attrs[tri]  # (H, W, 3, C)
+    out = jnp.einsum("hwk,hwkc->hwc", bary, vals)
+    return jnp.where((findices > 0)[..., None], out, 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# numpy oracle (the CPU-fallback semantics, reference rasterizer.cpp:94-123)
+# --------------------------------------------------------------------------- #
+def rasterize_reference(pos: np.ndarray, faces: np.ndarray,
+                        width: int, height: int):
+    pos = np.asarray(pos, np.float64)
+    x, y, z, _ = _screen_transform(pos, width, height)
+    zbuffer = np.full(width * height, (2 ** 62), np.int64)
+    maxint = 2147483647
+
+    for f, (i0, i1, i2) in enumerate(np.asarray(faces)):
+        v0 = np.array([x[i0], y[i0], z[i0]])
+        v1 = np.array([x[i1], y[i1], z[i1]])
+        v2 = np.array([x[i2], y[i2], z[i2]])
+        x_min = int(np.floor(min(v0[0], v1[0], v2[0])))
+        x_max = int(np.floor(max(v0[0], v1[0], v2[0]) + 1))
+        y_min = int(np.floor(min(v0[1], v1[1], v2[1])))
+        y_max = int(np.floor(max(v0[1], v1[1], v2[1]) + 1))
+        area = (v2[0] - v0[0]) * (v1[1] - v0[1]) - (v1[0] - v0[0]) * (v2[1] - v0[1])
+        if area == 0:
+            continue
+        for pxi in range(max(x_min, 0), min(x_max + 1, width)):
+            for pyi in range(max(y_min, 0), min(y_max + 1, height)):
+                p = (pxi + 0.5, pyi + 0.5)
+                beta = ((v2[0] - v0[0]) * (p[1] - v0[1])
+                        - (p[0] - v0[0]) * (v2[1] - v0[1])) / area
+                gamma = ((p[0] - v0[0]) * (v1[1] - v0[1])
+                         - (v1[0] - v0[0]) * (p[1] - v0[1])) / area
+                alpha = 1.0 - beta - gamma
+                if not (0 <= alpha <= 1 and 0 <= beta <= 1 and 0 <= gamma <= 1):
+                    continue
+                depth = alpha * v0[2] + beta * v1[2] + gamma * v2[2]
+                zq = int(depth * (2 << 17))
+                token = zq * maxint + (f + 1)
+                pix = pyi * width + pxi
+                zbuffer[pix] = min(zbuffer[pix], token)
+
+    find = (zbuffer % maxint).astype(np.int64)
+    find[zbuffer >= 2 ** 62] = 0
+    return find.reshape(height, width).astype(np.int32)

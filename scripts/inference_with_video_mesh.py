@@ -1,0 +1,80 @@
+"""Inference CLI: existing mesh + video -> animated GLB.
+
+Product-path equivalent of the reference's ``scripts/4D_from_existing.sh`` ->
+``inference_with_video_mesh.py`` (reference: scripts/inference_with_video_mesh.py,
+scripts/4D_from_existing.sh:55-66). Usage::
+
+    python scripts/inference_with_video_mesh.py \
+        --mesh examples/chili.glb --video examples/chili.mp4 \
+        --checkpoint /path/to/ckpt --output ./outputs/chili \
+        [training.frames=256 training.num_shape_samples=16384 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--mesh", required=True, help="GLB/OBJ mesh path")
+    parser.add_argument("--video", required=True, help="video path (mp4)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="our Orbax dir, or a reference .pt to convert")
+    parser.add_argument("--output", default="./outputs")
+    parser.add_argument("--config", default="configs/dyscene.yaml")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--no-smooth", action="store_true")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from motion324_tpu.config import load_config
+    from motion324_tpu.inference.pipeline import MotionPipeline
+    from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+    from motion324_tpu.utils.logging import log
+
+    cfg = load_config(args.config, args.overrides)
+    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
+    model = MotionLatentModel(mcfg)
+
+    if args.checkpoint and args.checkpoint.endswith(".pt"):
+        from motion324_tpu.utils.torch_convert import (
+            convert_motion_checkpoint, load_torch_state_dict)
+        params = convert_motion_checkpoint(load_torch_state_dict(args.checkpoint))
+        log(f"converted torch checkpoint {args.checkpoint}")
+    elif args.checkpoint:
+        from motion324_tpu.training.checkpoints import restore_params
+        example = {
+            "ref_shape_pcd": jnp.zeros((1, 64, 3)), "ref_shape_normals": jnp.zeros((1, 64, 3)),
+            "ref_shape_rgbs": jnp.zeros((1, 64, 3)), "ref_pcd": jnp.zeros((1, 64, 3)),
+            "ref_normal": jnp.zeros((1, 64, 3)), "ref_rgb": jnp.zeros((1, 64, 3)),
+            "rgb_video": jnp.zeros((1, 2, 28, 28, 3)),
+        }
+        template = jax.eval_shape(model.init, jax.random.PRNGKey(0), example)
+        params = restore_params(args.checkpoint, template)
+        log(f"restored checkpoint {args.checkpoint}")
+    else:
+        log("WARNING: no checkpoint given; using random weights (smoke mode)")
+        example = {k: jnp.zeros((1, 64, 3)) for k in
+                   ("ref_shape_pcd", "ref_shape_normals", "ref_shape_rgbs",
+                    "ref_pcd", "ref_normal", "ref_rgb")}
+        example["rgb_video"] = jnp.zeros((1, 2, mcfg.image_size, mcfg.image_size, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+
+    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames))
+    out = pipeline.run(args.mesh, args.video, args.output,
+                       num_shape_samples=int(cfg.training.get(
+                           "num_shape_samples", 16384)),
+                       smooth=not args.no_smooth, max_frames=args.max_frames)
+    log(f"done: {out}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

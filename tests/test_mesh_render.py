@@ -1,0 +1,73 @@
+"""Camera math and multi-view rendering over the Pallas rasterizer."""
+
+import numpy as np
+import pytest
+
+from motion324_tpu.hy3dgen.camera import (orthographic, perspective,
+                                          transform_points, view_matrix)
+from motion324_tpu.hy3dgen.mesh_render import MeshRenderer
+from motion324_tpu.io.mesh import TriMesh
+
+CUBE_V = (np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+          - 0.5) * 0.8
+CUBE_F = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                   [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                   [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int64)
+
+
+def test_view_matrix_camera_on_orbit():
+    w2c = view_matrix(0, 0, camera_distance=2.0)
+    # camera at azim 0 (+90 offset => +y axis), looking at origin
+    cam_pos = -np.linalg.inv(w2c[:3, :3]) @ w2c[:3, 3]
+    np.testing.assert_allclose(cam_pos, [0, 2, 0], atol=1e-6)
+    # origin maps to (0, 0, -distance) in camera space
+    p = transform_points(w2c, np.zeros((1, 3), np.float32))
+    np.testing.assert_allclose(p[0, :3], [0, 0, -2.0], atol=1e-6)
+
+
+def test_orthographic_maps_bounds():
+    m = orthographic(-1, 1, -1, 1, 0, 2)
+    p = transform_points(m, np.array([[1.0, 1.0, -2.0]], np.float32))
+    np.testing.assert_allclose(p[0], [1, 1, 1, 1], atol=1e-6)
+
+
+def test_perspective_w_is_minus_z():
+    m = perspective(60.0, 1.0, 0.1, 10.0)
+    p = transform_points(m, np.array([[0.0, 0.0, -5.0]], np.float32))
+    assert abs(p[0, 3] - 5.0) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    return MeshRenderer(mesh, resolution=64, texture_size=64, interpret=True)
+
+
+def test_render_view_mask_and_normals(renderer):
+    out = renderer.render_view(elev=0, azim=0)
+    assert out["mask"].sum() > 200  # the cube fills a chunk of the frame
+    n = out["normal"][out["mask"]]
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+    # front view at azim 0 looks down -y: visible faces have +y normals
+    assert n[:, 1].mean() > 0.5
+
+
+def test_render_view_positions_on_surface(renderer):
+    out = renderer.render_view(elev=0, azim=0)
+    pos = out["position"][out["mask"]]
+    assert np.abs(pos).max() <= 0.41  # inside the 0.8-side cube + eps
+
+
+def test_uv_rasterize_and_bake():
+    uv = np.random.RandomState(0).rand(8, 2).astype(np.float32) * 0.8 + 0.1
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F, uv=uv)
+    r = MeshRenderer(mesh, resolution=32, texture_size=32, interpret=True)
+    find, bary = r.rasterize_uv()
+    assert (np.asarray(find) > 0).sum() > 10
+    views = [(0, 0, 1.0), (180, 0, 0.5)]
+    imgs = [np.full((32, 32, 3), 0.7, np.float32) for _ in views]
+    tex, mask = r.bake(imgs, views)
+    assert tex.shape == (32, 32, 3)
+    if mask.any():
+        np.testing.assert_allclose(tex[mask], 0.7, atol=1e-3)
