@@ -1,0 +1,212 @@
+"""Native host kernels (C++ via ctypes) with numpy reference fallbacks.
+
+The reference ships pybind11/CUDA extensions for host-graph work (reference:
+scripts/hy3dgen/texgen/differentiable_renderer/mesh_processor.cpp,
+custom_rasterizer). Here the native layer is built on demand with g++ into a
+shared library loaded through ctypes; every entry point has a numpy fallback
+with identical behaviour that doubles as the test oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
+           "marching_cubes"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
+_SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp"]
+_lib = None
+_build_failed = False
+
+
+def _build() -> str | None:
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES
+            if os.path.exists(os.path.join(_DIR, s))]
+    if not srcs:
+        return None
+    newest_src = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) > newest_src:
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", _LIB_PATH, *srcs]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return _LIB_PATH
+
+
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    path = _build()
+    if path is None:
+        _build_failed = True
+        return None
+    _lib = ctypes.CDLL(path)
+    _lib.vertex_inpaint.restype = ctypes.c_int
+    _lib.marching_tetrahedra.restype = ctypes.c_int
+    return _lib
+
+
+def marching_cubes(grid: np.ndarray, iso: float = 0.0,
+                   bounds: tuple | None = None):
+    """Iso-surface extraction (C++ marching tetrahedra).
+
+    Args:
+      grid: (nx, ny, nz) float32 scalar field.
+      iso: iso level.
+      bounds: optional ((xmin, ymin, zmin), (xmax, ymax, zmax)) — vertices are
+        rescaled from grid-index space into this box, mirroring the reference's
+        bbox rescale after extraction (surface_extractors.py:67-76).
+
+    Returns:
+      (vertices (V, 3) float32, faces (F, 3) int32).
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ build failed)")
+    grid = np.ascontiguousarray(grid, np.float32)
+    nx, ny, nz = grid.shape
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+
+    cap_v, cap_t = 1 << 18, 1 << 19
+    for _ in range(8):
+        verts = np.empty((cap_v, 3), np.float32)
+        tris = np.empty((cap_t, 3), np.int32)
+        nv = ctypes.c_int(0)
+        nt = ctypes.c_int(0)
+        ret = lib.marching_tetrahedra(
+            p(grid), nx, ny, nz, ctypes.c_float(iso),
+            p(verts), cap_v, ctypes.byref(nv),
+            p(tris), cap_t, ctypes.byref(nt))
+        if ret == 0:
+            v = verts[:nv.value].copy()
+            f = tris[:nt.value].copy()
+            if bounds is not None:
+                lo = np.asarray(bounds[0], np.float32)
+                hi = np.asarray(bounds[1], np.float32)
+                span = np.array([nx - 1, ny - 1, nz - 1], np.float32)
+                v = lo + v / span * (hi - lo)
+            return v, f
+        cap_v = max(cap_v * 2, nv.value + 1)
+        cap_t = max(cap_t * 2, nt.value + 1)
+    raise RuntimeError("marching_tetrahedra: capacity negotiation failed")
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+# --------------------------------------------------------------------------- #
+# vertex inpaint
+# --------------------------------------------------------------------------- #
+def vertex_inpaint(texture: np.ndarray, mask: np.ndarray, vtx_pos: np.ndarray,
+                   vtx_uv: np.ndarray, pos_idx: np.ndarray,
+                   uv_idx: np.ndarray):
+    """UV-seam vertex color diffusion; C++ when available, numpy otherwise.
+
+    Args:
+      texture: (H, W, C) float32.
+      mask: (H, W) uint8; texels > 0 are colored.
+      vtx_pos: (V, 3) float32 vertex positions.
+      vtx_uv: (U, 2) float32 UV coordinates (may be indexed independently).
+      pos_idx: (F, 3) int32 vertex indices per face.
+      uv_idx: (F, 3) int32 UV indices per face.
+
+    Returns:
+      (new_texture (H, W, C) float32, new_mask (H, W) uint8).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return vertex_inpaint_numpy(texture, mask, vtx_pos, vtx_uv,
+                                    pos_idx, uv_idx)
+    texture = np.ascontiguousarray(texture, np.float32)
+    mask = np.ascontiguousarray(mask, np.uint8)
+    vtx_pos = np.ascontiguousarray(vtx_pos, np.float32)
+    vtx_uv = np.ascontiguousarray(vtx_uv, np.float32)
+    pos_idx = np.ascontiguousarray(pos_idx, np.int32)
+    uv_idx = np.ascontiguousarray(uv_idx, np.int32)
+    h, w, c = texture.shape
+    out_tex = np.empty_like(texture)
+    out_mask = np.empty_like(mask)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    ret = lib.vertex_inpaint(
+        p(texture), p(mask), h, w, c,
+        p(vtx_pos), len(vtx_pos), p(vtx_uv), len(vtx_uv),
+        p(pos_idx), p(uv_idx), len(pos_idx),
+        p(out_tex), p(out_mask))
+    if ret != 0:
+        raise RuntimeError(f"vertex_inpaint failed with code {ret}")
+    return out_tex, out_mask
+
+
+def vertex_inpaint_numpy(texture, mask, vtx_pos, vtx_uv, pos_idx, uv_idx):
+    """Numpy implementation of the same contract (test oracle; mirrors the
+    behaviour of the reference's Python fallback, mesh_processor.py:17-84)."""
+    texture = np.asarray(texture, np.float32)
+    mask = np.asarray(mask)
+    h, w, c = texture.shape
+    n_vtx = len(vtx_pos)
+
+    vtx_mask = np.zeros(n_vtx, bool)
+    vtx_color = np.zeros((n_vtx, c), np.float32)
+    uncolored: list[int] = []
+    adj: list[list[int]] = [[] for _ in range(n_vtx)]
+
+    def texel(uvi):
+        col = int(round(float(vtx_uv[uvi, 0]) * (w - 1)))
+        row = int(round((1.0 - float(vtx_uv[uvi, 1])) * (h - 1)))
+        return min(max(row, 0), h - 1), min(max(col, 0), w - 1)
+
+    for f in range(len(pos_idx)):
+        for k in range(3):
+            vi = int(pos_idx[f, k])
+            row, col = texel(int(uv_idx[f, k]))
+            if mask[row, col] > 0:
+                vtx_mask[vi] = True
+                vtx_color[vi] = texture[row, col]
+            else:
+                uncolored.append(vi)
+            adj[vi].append(int(pos_idx[f, (k + 1) % 3]))
+
+    stall = 2
+    last_remaining = 0
+    while stall > 0:
+        remaining = 0
+        for vi in uncolored:
+            total, acc = 0.0, np.zeros(c, np.float32)
+            p0 = vtx_pos[vi]
+            for nb in adj[vi]:
+                if not vtx_mask[nb]:
+                    continue
+                dist = float(np.sqrt(np.sum((p0 - vtx_pos[nb]) ** 2)))
+                wgt = (1.0 / max(dist, 1e-4)) ** 2
+                acc += vtx_color[nb] * wgt
+                total += wgt
+            if total > 0:
+                vtx_color[vi] = acc / total
+                vtx_mask[vi] = True
+            else:
+                remaining += 1
+        stall = stall - 1 if remaining == last_remaining else stall + 1
+        last_remaining = remaining
+
+    out_tex = texture.copy()
+    out_mask = np.asarray(mask).copy()
+    for f in range(len(pos_idx)):
+        for k in range(3):
+            vi = int(pos_idx[f, k])
+            if not vtx_mask[vi]:
+                continue
+            row, col = texel(int(uv_idx[f, k]))
+            out_tex[row, col] = vtx_color[vi]
+            out_mask[row, col] = 255
+    return out_tex, out_mask
