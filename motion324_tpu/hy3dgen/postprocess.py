@@ -1,0 +1,114 @@
+"""Mesh cleanup: floater removal, degenerate-face removal, face reduction.
+
+Capability parity with the reference's pymeshlab-based postprocessors
+(reference: scripts/hy3dgen/shapegen/postprocessors.py:120-204), without the
+pymeshlab dependency:
+
+- :func:`remove_floaters`     — keep the largest connected component (:133);
+- :func:`remove_degenerate`   — drop zero-area / repeated-index faces (:145);
+- :func:`reduce_faces`        — decimate to a target face budget (:120).
+  Round-1 implementation is grid vertex clustering (uniform quadric-free
+  simplification); QEM decimation is the planned upgrade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from motion324_tpu.io.mesh import TriMesh
+
+__all__ = ["remove_floaters", "remove_degenerate", "reduce_faces"]
+
+
+def _compact(vertices, faces):
+    used = np.unique(faces)
+    remap = np.full(len(vertices), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return vertices[used], remap[faces]
+
+
+def remove_floaters(mesh: TriMesh) -> TriMesh:
+    """Keep only the largest face-connected component (union-find on edges)."""
+    n = len(mesh.vertices)
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for f in mesh.faces:
+        a, b, c = int(f[0]), int(f[1]), int(f[2])
+        ra, rb, rc = find(a), find(b), find(c)
+        parent[rb] = ra
+        parent[find(rc)] = find(ra)
+
+    roots = np.array([find(v) for v in range(n)])
+    face_root = roots[mesh.faces[:, 0]]
+    vals, counts = np.unique(face_root, return_counts=True)
+    keep_root = vals[np.argmax(counts)]
+    faces = mesh.faces[face_root == keep_root]
+    v, f = _compact(mesh.vertices, faces)
+    return TriMesh(vertices=v, faces=f)
+
+
+def remove_degenerate(mesh: TriMesh, eps: float = 0.0) -> TriMesh:
+    """Drop faces with repeated vertices or (near-)zero area."""
+    f = mesh.faces
+    distinct = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
+    tri = mesh.vertices[f]
+    area2 = np.linalg.norm(np.cross(tri[:, 1] - tri[:, 0],
+                                    tri[:, 2] - tri[:, 0]), axis=-1)
+    keep = distinct & (area2 > eps)
+    v, fc = _compact(mesh.vertices, f[keep])
+    return TriMesh(vertices=v, faces=fc)
+
+
+def reduce_faces(mesh: TriMesh, max_facenum: int = 40000) -> TriMesh:
+    """Simplify to <= ``max_facenum`` faces by uniform-grid vertex clustering.
+
+    Cell size is chosen by bisection so the output face count lands under the
+    budget. Collapsed faces (two corners in one cell) are dropped.
+    """
+    if len(mesh.faces) <= max_facenum:
+        return mesh
+    v = mesh.vertices
+    lo, hi = v.min(0), v.max(0)
+    span = float(np.max(hi - lo)) + 1e-9
+
+    def cluster(cells: int):
+        key = np.floor((v - lo) / span * cells).astype(np.int64)
+        key = np.minimum(key, cells - 1)
+        packed = (key[:, 0] * cells + key[:, 1]) * cells + key[:, 2]
+        uniq, inv = np.unique(packed, return_inverse=True)
+        # representative = centroid of each cell
+        reps = np.zeros((len(uniq), 3), np.float64)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(reps, inv, v)
+        np.add.at(cnt, inv, 1)
+        reps = (reps / cnt[:, None]).astype(np.float32)
+        faces = inv[mesh.faces]
+        ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) \
+            & (faces[:, 0] != faces[:, 2])
+        faces = faces[ok]
+        # dedupe faces regardless of rotation
+        sorted_f = np.sort(faces, axis=1)
+        _, first = np.unique(sorted_f, axis=0, return_index=True)
+        return reps, faces[np.sort(first)]
+
+    lo_c, hi_c = 4, 512
+    best = None
+    while lo_c <= hi_c:
+        mid = (lo_c + hi_c) // 2
+        reps, faces = cluster(mid)
+        if len(faces) <= max_facenum:
+            best = (reps, faces)
+            lo_c = mid + 1
+        else:
+            hi_c = mid - 1
+    if best is None:
+        best = cluster(4)
+    reps, faces = best
+    v2, f2 = _compact(reps, faces)
+    return TriMesh(vertices=v2, faces=f2)

@@ -1,0 +1,185 @@
+"""Shape-generation stack: scheduler math, DiT shapes/CFG loop, volume
+decoding vs analytic fields, postprocessing, tiny end-to-end pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from motion324_tpu.hy3dgen.dit import Hunyuan3DDiT, timestep_embedding
+from motion324_tpu.hy3dgen.postprocess import (reduce_faces,
+                                               remove_degenerate,
+                                               remove_floaters)
+from motion324_tpu.hy3dgen.scheduler import (euler_step, flow_match_sigmas,
+                                             scale_noise)
+from motion324_tpu.hy3dgen.vae import ShapeVAE
+from motion324_tpu.hy3dgen.volume import (decode_volume,
+                                          decode_volume_hierarchical)
+from motion324_tpu.io.mesh import TriMesh
+
+
+# --------------------------------------------------------------------------- #
+def test_flow_match_sigmas():
+    s = flow_match_sigmas(10)
+    assert len(s) == 11
+    assert s[0] == 0.0 and s[-1] == 1.0
+    assert (np.diff(s) >= 0).all()
+    s3 = flow_match_sigmas(10, shift=3.0)
+    # shift=3 pushes mass toward 1 (reference schedulers.py:91)
+    assert s3[5] > s[5]
+
+
+def test_euler_integrates_linear_flow():
+    """With v = (target - noise) constant, Euler over the full ladder lands on
+    the target exactly."""
+    rng = np.random.RandomState(0)
+    noise = rng.randn(4, 3).astype(np.float32)
+    target = rng.randn(4, 3).astype(np.float32)
+    sigmas = flow_match_sigmas(25)
+    x = noise.copy()
+    v = target - noise
+    for i in range(25):
+        x = euler_step(x, v, sigmas[i], sigmas[i + 1])
+    np.testing.assert_allclose(x, target, atol=1e-5)
+
+
+def test_scale_noise_endpoints():
+    s = np.ones((2, 2), np.float32)
+    n = np.zeros((2, 2), np.float32)
+    np.testing.assert_array_equal(scale_noise(s, n, 0.0), s)
+    np.testing.assert_array_equal(scale_noise(s, n, 1.0), n)
+
+
+def test_timestep_embedding_shape_and_range():
+    emb = np.asarray(timestep_embedding(jnp.array([0.0, 0.5, 1.0]), 256))
+    assert emb.shape == (3, 256)
+    assert np.abs(emb).max() <= 1.0 + 1e-6
+
+
+# --------------------------------------------------------------------------- #
+TINY_DIT = dict(in_channels=8, context_in_dim=16, hidden_size=64, num_heads=4,
+                depth=2, depth_single_blocks=2)
+
+
+def test_dit_forward_shape():
+    dit = Hunyuan3DDiT(**TINY_DIT)
+    x = jnp.zeros((2, 12, 8))
+    t = jnp.array([0.1, 0.9])
+    cond = jnp.zeros((2, 5, 16))
+    params = dit.init(jax.random.PRNGKey(0), x, t, cond)
+    out = dit.apply(params, x, t, cond)
+    assert out.shape == (2, 12, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dit_depends_on_time_and_cond():
+    dit = Hunyuan3DDiT(**TINY_DIT)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 8))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 16))
+    params = dit.init(jax.random.PRNGKey(0), x, jnp.zeros(1), cond)
+    o1 = dit.apply(params, x, jnp.array([0.1]), cond)
+    o2 = dit.apply(params, x, jnp.array([0.9]), cond)
+    o3 = dit.apply(params, x, jnp.array([0.1]), cond * 2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+
+# --------------------------------------------------------------------------- #
+def test_vae_query_shapes():
+    vae = ShapeVAE(num_latents=16, embed_dim=8, width=32, heads=4,
+                   num_decoder_layers=2)
+    lat = jnp.zeros((1, 16, 8))
+    pts = jnp.zeros((1, 10, 3))
+    params = vae.init(jax.random.PRNGKey(0), lat, pts)
+    logits = vae.apply(params, lat, pts)
+    assert logits.shape == (1, 10)
+
+    processed = vae.apply(params, lat, method=ShapeVAE.decode)
+    logits2 = vae.apply(params, pts, processed, method=ShapeVAE.query)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               atol=1e-6)
+
+
+def _sphere_query(pts, _latents):
+    # analytic occupancy: positive inside radius 0.5
+    return 0.5 - jnp.linalg.norm(pts, axis=-1)
+
+
+def test_decode_volume_matches_analytic():
+    grid = decode_volume(_sphere_query, None, resolution=24, box_v=1.0,
+                         chunk=128)
+    assert grid.shape == (25, 25, 25)
+    center = grid[12, 12, 12]
+    corner = grid[0, 0, 0]
+    assert center > 0 > corner
+
+
+def test_hierarchical_matches_dense_near_surface():
+    dense = decode_volume(_sphere_query, None, resolution=32, box_v=1.0,
+                          chunk=128)
+    hier = decode_volume_hierarchical(_sphere_query, None, resolution=32,
+                                      box_v=1.0, chunk=128, coarse_factor=4,
+                                      band=0.5)
+    near = np.abs(dense) < 0.05
+    np.testing.assert_allclose(hier[near], dense[near], atol=1e-4)
+    # marching cubes on both must produce the same surface
+    from motion324_tpu.native import marching_cubes
+    v1, _ = marching_cubes(dense, bounds=((-1,) * 3, (1,) * 3))
+    v2, _ = marching_cubes(hier, bounds=((-1,) * 3, (1,) * 3))
+    np.testing.assert_allclose(np.linalg.norm(v1, axis=1).mean(),
+                               np.linalg.norm(v2, axis=1).mean(), atol=1e-3)
+
+
+# --------------------------------------------------------------------------- #
+CUBE_V = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                   [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+CUBE_F = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                   [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                   [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int64)
+
+
+def test_remove_floaters_keeps_big_component():
+    v = np.concatenate([CUBE_V, CUBE_V * 0.1 + 5.0])
+    f = np.concatenate([CUBE_F, CUBE_F[:4] + 8])  # small floater: 4 faces
+    out = remove_floaters(TriMesh(vertices=v, faces=f))
+    assert len(out.faces) == 12
+    assert out.vertices.max() <= 1.0
+
+
+def test_remove_degenerate():
+    f = np.concatenate([CUBE_F, [[0, 0, 1], [2, 2, 2]]])
+    out = remove_degenerate(TriMesh(vertices=CUBE_V, faces=f))
+    assert len(out.faces) == 12
+
+
+def test_reduce_faces_under_budget():
+    from motion324_tpu.native import marching_cubes
+    n = 48
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    verts, faces = marching_cubes(0.6 - np.sqrt(x * x + y * y + z * z))
+    mesh = TriMesh(vertices=verts, faces=faces.astype(np.int64))
+    assert len(mesh.faces) > 2000
+    red = reduce_faces(mesh, max_facenum=1000)
+    assert len(red.faces) <= 1000
+    assert len(red.faces) > 50  # still a sphere-ish mesh
+    # geometry preserved: mean radius close to 0.6 in grid units
+    r = np.linalg.norm(red.vertices - red.vertices.mean(0), axis=1).mean()
+    r_orig = np.linalg.norm(verts - verts.mean(0), axis=1).mean()
+    assert abs(r - r_orig) / r_orig < 0.1
+
+
+# --------------------------------------------------------------------------- #
+def test_shape_pipeline_tiny_end_to_end():
+    from motion324_tpu.hy3dgen.shape_pipeline import ShapeGenPipeline
+    pipe = ShapeGenPipeline.init_random(
+        num_latents=8, latent_dim=8, cond_dim=36, cond_depth=1, cond_heads=3,
+        dit_hidden=36, dit_heads=3, dit_depth=1, dit_single=1,
+        vae_width=32, vae_heads=4, vae_layers=1,
+        image_size=28, dtype=jnp.float32)
+
+    img = np.random.RandomState(0).rand(28, 28, 3).astype(np.float32)
+    mesh = pipe(img, num_inference_steps=3, octree_resolution=16,
+                hierarchical=False, num_chunks=128)
+    assert mesh.vertices.ndim == 2 and mesh.vertices.shape[1] == 3
+    assert np.isfinite(mesh.vertices).all() if len(mesh.vertices) else True
