@@ -79,15 +79,11 @@ def decode_volume_hierarchical(query_fn, processed_latents,
                                  method="linear", antialias=False)
     fine_init = np.array(fine_init, np.float32)  # writable host copy
 
-    near = np.abs(np.asarray(coarse)) < band
-    # dilate the near-surface mask by one coarse cell
-    for axis in range(3):
-        near = near | np.roll(near, 1, axis) | np.roll(near, -1, axis)
-    up = np.repeat(np.repeat(np.repeat(
-        near, coarse_factor, 0), coarse_factor, 1), coarse_factor, 2)
-    mask = np.zeros((r, r, r), bool)
-    lim = up.shape
-    mask[:lim[0], :lim[1], :lim[2]] = up[:r, :r, :r]
+    # near-surface selection on the upsampled field itself (no grid-alignment
+    # bookkeeping), dilated by one coarse cell of fine voxels
+    from scipy.ndimage import binary_dilation
+    mask = np.abs(fine_init) < band
+    mask = binary_dilation(mask, iterations=coarse_factor)
 
     idx = np.argwhere(mask)
     if len(idx) == 0:
