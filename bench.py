@@ -38,22 +38,24 @@ def main():
         "rgb_video": video[:, :2],
     })
 
+    # params flow in as arguments (closure capture would embed them as XLA
+    # constants and stall compilation)
     @jax.jit
-    def encode(video, sp, sn, sr):
+    def encode(params, video, sp, sn, sr):
         mesh = model.apply(params, sp, sn, sr,
                            method=MotionLatentModel.encode_shape)
         return model.apply(params, video, mesh,
                            method=MotionLatentModel.encode_video)
 
     @jax.jit
-    def decode(tokens, p, n, c):
+    def decode(params, tokens, p, n, c):
         return model.apply(params, tokens, p, n, c,
                            method=MotionLatentModel.decode_points)
 
     def clip_once():
-        tokens = encode(video, *shape_args)
-        outs = [decode(tokens, pts[0][:, i:i + CHUNK], pts[1][:, i:i + CHUNK],
-                       pts[2][:, i:i + CHUNK])
+        tokens = encode(params, video, *shape_args)
+        outs = [decode(params, tokens, pts[0][:, i:i + CHUNK],
+                       pts[1][:, i:i + CHUNK], pts[2][:, i:i + CHUNK])
                 for i in range(0, N_PTS, CHUNK)]
         jax.block_until_ready(outs)
         return outs

@@ -1,0 +1,98 @@
+"""Texture painting pipeline: mesh + reference image -> textured mesh.
+
+TPU-native counterpart of the reference's ``Hunyuan3DPaintPipeline``
+(reference: scripts/hy3dgen/texgen/pipelines.py:188-237):
+
+1. UV-unwrap the mesh (:mod:`motion324_tpu.hy3dgen.uv_unwrap`, xatlas
+   equivalent returning a vmapping);
+2. render normal + position maps for the six baking cameras
+   (azims 0/90/180/270 + top/bottom at weights 1/0.1/0.5/0.1/0.05/0.05,
+   reference pipelines.py:40-42) with the Pallas rasterizer;
+3. generate per-view RGB with a pluggable multiview model (the HunyuanPaint
+   SD UNet port slots in here; the default synthesizer reprojects the
+   conditioning image and lambertian-shades the rest so the pipeline is
+   runnable end-to-end without diffusion weights);
+4. back-project each view into UV space with cos^4 weighting and merge
+   (fast-bake, reference mesh_render.py:653-798);
+5. inpaint seams: native C++ vertex diffusion + image-space hole fill
+   (reference mesh_render.py:800-823).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from motion324_tpu.hy3dgen.camera import DEFAULT_VIEWS
+from motion324_tpu.hy3dgen.mesh_render import MeshRenderer
+from motion324_tpu.hy3dgen.uv_unwrap import unwrap_uv
+from motion324_tpu.io.mesh import TriMesh
+from motion324_tpu.native import vertex_inpaint
+from motion324_tpu.utils.logging import log
+
+__all__ = ["PaintPipeline", "reprojection_texturizer"]
+
+
+def reprojection_texturizer(cond_image: np.ndarray, views,
+                            renders: list[dict]) -> list[np.ndarray]:
+    """Weight-free view synthesizer: the front view reuses the conditioning
+    image; other views get a lambertian shading of the mesh normals modulated
+    by the conditioning image's mean color. Placeholder for the multiview
+    diffusion UNet (same call signature)."""
+    mean_color = cond_image.reshape(-1, 3).mean(axis=0)
+    out = []
+    for i, ((azim, elev, _), rnd) in enumerate(zip(views, renders)):
+        h, w = rnd["mask"].shape
+        if i == 0:
+            import cv2
+            img = cv2.resize(cond_image, (w, h), interpolation=cv2.INTER_AREA)
+        else:
+            shade = np.clip(rnd["normal"] @ np.array([0.3, 0.5, 0.8]), 0, 1)
+            img = (0.4 + 0.6 * shade[..., None]) * mean_color[None, None]
+        out.append((img * rnd["mask"][..., None]).astype(np.float32))
+    return out
+
+
+class PaintPipeline:
+    def __init__(self, multiview_model: Callable | None = None,
+                 resolution: int = 512, texture_size: int = 1024,
+                 interpret: bool = False):
+        self.multiview_model = multiview_model or reprojection_texturizer
+        self.resolution = resolution
+        self.texture_size = texture_size
+        self.interpret = interpret
+
+    def __call__(self, mesh: TriMesh, image: np.ndarray,
+                 views=None) -> TriMesh:
+        views = views if views is not None else DEFAULT_VIEWS
+        unwrapped, vmapping = unwrap_uv(mesh, self.texture_size)
+        renderer = MeshRenderer(unwrapped, resolution=self.resolution,
+                                texture_size=self.texture_size,
+                                interpret=self.interpret)
+
+        renders = [renderer.render_view(elev, azim)
+                   for azim, elev, _ in views]
+        view_images = self.multiview_model(image, views, renders)
+
+        texture, covered = renderer.bake(view_images, views)
+
+        # seam inpaint: diffuse colors over the mesh graph (native C++), then
+        # fill any remaining holes from the valid-texel average
+        mask = (covered * 255).astype(np.uint8)
+        texture, mask = vertex_inpaint(
+            texture.astype(np.float32), mask,
+            unwrapped.vertices.astype(np.float32),
+            unwrapped.uv.astype(np.float32),
+            unwrapped.faces.astype(np.int32),
+            unwrapped.faces.astype(np.int32))
+        hole = mask == 0
+        if hole.any() and (~hole).any():
+            texture[hole] = texture[~hole].mean(axis=0)
+
+        log(f"texture baked: {self.texture_size}^2, "
+            f"{(~hole).mean() * 100:.0f}% covered")
+        out = TriMesh(vertices=unwrapped.vertices, faces=unwrapped.faces,
+                      uv=unwrapped.uv, texture=np.clip(texture, 0, 1))
+        out.vmapping = vmapping  # type: ignore[attr-defined]
+        return out

@@ -91,9 +91,9 @@ class ShapeGenPipeline:
             return self.vae.apply(vae_params, latents,
                                   method=ShapeVAE.decode)
 
-        def _vae_query(points, processed):
-            # signature (points, processed_latents) as volume.py expects
-            return self.vae.apply(self.params["vae"], points, processed,
+        def _vae_query(vae_params, points, processed):
+            # params are threaded as an argument (volume.py passes them back)
+            return self.vae.apply(vae_params, points, processed,
                                   method=ShapeVAE.query)
 
         self._encode_cond = _encode_cond
@@ -144,8 +144,9 @@ class ShapeGenPipeline:
 
         processed = self._vae_decode(self.params["vae"], latents)
         decode = decode_volume_hierarchical if hierarchical else decode_volume
-        grid = decode(self._vae_query, processed, resolution=octree_resolution,
-                      box_v=box_v, chunk=num_chunks)
+        grid = decode(self._vae_query, self.params["vae"], processed,
+                      resolution=octree_resolution, box_v=box_v,
+                      chunk=num_chunks)
 
         from motion324_tpu.native import marching_cubes
         verts, faces = marching_cubes(

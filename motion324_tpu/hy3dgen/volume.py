@@ -28,36 +28,40 @@ def make_grid(resolution: int, box_v: float = 1.01) -> np.ndarray:
     return np.stack([x, y, z], axis=-1).reshape(-1, 3)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _decode_chunks(apply_fn, processed_latents, points_padded, chunk: int):
-    """points (M, 3) padded to a chunk multiple -> logits (M,)."""
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _decode_chunks(query_fn, params, processed_latents, points_padded,
+                   chunk: int):
+    """points (M, 3) padded to a chunk multiple -> logits (M,).
+
+    ``params`` flows in as an argument — closure capture would embed the VAE
+    weights as XLA constants and stall compilation."""
     chunks = points_padded.reshape(-1, chunk, 3)
 
     def one(pts):
-        return apply_fn(pts[None], processed_latents)[0]
+        return query_fn(params, pts[None], processed_latents)[0]
 
     return jax.lax.map(one, chunks).reshape(-1)
 
 
-def decode_volume(query_fn, processed_latents, resolution: int = 384,
+def decode_volume(query_fn, params, processed_latents, resolution: int = 384,
                   box_v: float = 1.01, chunk: int = 8192) -> np.ndarray:
     """Dense grid decode -> (R+1, R+1, R+1) float32 logits.
 
-    ``query_fn(points (1, N, 3), latents) -> (1, N)`` is the jittable VAE
-    query closure.
+    ``query_fn(params, points (1, N, 3), latents) -> (1, N)`` is the jittable
+    VAE query function.
     """
     pts = make_grid(resolution, box_v)
     n = len(pts)
     pad = (-n) % chunk
     if pad:
         pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-    logits = _decode_chunks(query_fn, processed_latents,
+    logits = _decode_chunks(query_fn, params, processed_latents,
                             jnp.asarray(pts), chunk)
     r = resolution + 1
     return np.asarray(logits[:n], np.float32).reshape(r, r, r)
 
 
-def decode_volume_hierarchical(query_fn, processed_latents,
+def decode_volume_hierarchical(query_fn, params, processed_latents,
                                resolution: int = 384, box_v: float = 1.01,
                                chunk: int = 8192, coarse_factor: int = 4,
                                band: float = 4.0) -> np.ndarray:
@@ -70,8 +74,8 @@ def decode_volume_hierarchical(query_fn, processed_latents,
     is all marching cubes consumes.
     """
     coarse_res = max(resolution // coarse_factor, 16)
-    coarse = decode_volume(query_fn, processed_latents, coarse_res, box_v,
-                           chunk)
+    coarse = decode_volume(query_fn, params, processed_latents, coarse_res,
+                           box_v, chunk)
 
     r = resolution + 1
     # upsample coarse logits to the fine grid (trilinear)
@@ -92,7 +96,7 @@ def decode_volume_hierarchical(query_fn, processed_latents,
     pts = np.stack([ax[idx[:, 0]], ax[idx[:, 1]], ax[idx[:, 2]]], axis=-1)
     pad = (-len(pts)) % chunk
     pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-    logits = np.asarray(_decode_chunks(query_fn, processed_latents,
+    logits = np.asarray(_decode_chunks(query_fn, params, processed_latents,
                                        jnp.asarray(pts_p), chunk))[:len(pts)]
     fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits
     return fine_init

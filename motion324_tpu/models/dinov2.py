@@ -109,9 +109,10 @@ class DinoViT(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls_tok, (b, 1, self.embed_dim)), x],
                             axis=1)
 
-        for i in range(self.depth):
-            x = _Block(self.embed_dim, self.num_heads, self.mlp_ratio,
-                       dtype=self.dtype, name=f"block_{i}")(x)
+        from motion324_tpu.models.transformer import stack_blocks
+        x = stack_blocks(_Block, self.depth, name="blocks",
+                         dim=self.embed_dim, num_heads=self.num_heads,
+                         mlp_ratio=self.mlp_ratio, dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS: x_norm_patchtokens
 

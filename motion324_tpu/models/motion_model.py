@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from motion324_tpu.models.dinov2 import DinoViT
-from motion324_tpu.models.transformer import CrossAttentionBlock, TransformerBlock
+from motion324_tpu.models.transformer import (CrossAttentionBlock,
+                                              TransformerBlock, stack_blocks)
 from motion324_tpu.ops.embeddings import (
     apply_point_basis,
     point_embed_basis,
@@ -79,6 +80,32 @@ class ModelConfig:
         )
 
 
+class AlternatingPair(nn.Module):
+    """One (global, local) attention pair over (B, T, L, C) frame tokens.
+
+    Global attends over all T*L tokens, local within each frame's L tokens
+    (reference model/Pcd_motion.py:394-429). Stacked via ``stack_blocks``.
+    """
+
+    dim: int
+    head_dim: int
+    use_qk_norm: bool
+    dtype: Any
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, t, l, d = x.shape
+        kw = dict(dim=self.dim, head_dim=self.head_dim,
+                  use_qk_norm=self.use_qk_norm, dtype=self.dtype,
+                  attn_backend=self.attn_backend)
+        x = TransformerBlock(**kw, name="global")(
+            x.reshape(b, t * l, d)).reshape(b, t, l, d)
+        x = TransformerBlock(**kw, name="local")(
+            x.reshape(b * t, l, d)).reshape(b, t, l, d)
+        return x
+
+
 class MotionLatentModel(nn.Module):
     """Predicts per-point 3D trajectories from a shape point cloud and a video.
 
@@ -96,11 +123,7 @@ class MotionLatentModel(nn.Module):
 
     def setup(self):
         c = self.cfg
-        block = TransformerBlock
-        xblock = CrossAttentionBlock
-        if c.remat:
-            block = nn.remat(TransformerBlock)
-            xblock = nn.remat(CrossAttentionBlock)
+        xblock = nn.remat(CrossAttentionBlock) if c.remat else CrossAttentionBlock
         kw = dict(dim=c.feat_dim, head_dim=c.head_dim, use_qk_norm=c.use_qk_norm,
                   dtype=c.dtype, attn_backend=c.attn_backend)
 
@@ -119,18 +142,17 @@ class MotionLatentModel(nn.Module):
                                              (1, 4, c.feat_dim), jnp.float32)
 
         self.encoder_cross_attn = xblock(**kw, name="encoder_cross_attn")
-        self.pcd_blocks = [block(**kw, name=f"pcd_block_{i}")
-                           for i in range(c.pcd_layers)]
+        self.pcd_blocks = stack_blocks(TransformerBlock, c.pcd_layers,
+                                       remat=c.remat, name="pcd_blocks", **kw)
 
         self.image_encoder = DinoViT(embed_dim=c.feat_dim, depth=c.dino_depth,
                                      num_heads=c.dino_heads, patch_size=c.patch_size,
                                      dtype=c.dtype, name="image_encoder")
 
         n_pairs = c.n_alternating_layers // 2
-        self.global_blocks = [block(**kw, name=f"global_block_{i}")
-                              for i in range(n_pairs)]
-        self.local_blocks = [block(**kw, name=f"local_block_{i}")
-                             for i in range(n_pairs)]
+        self.alternating_blocks = stack_blocks(
+            AlternatingPair, n_pairs, remat=c.remat, name="alternating_blocks",
+            **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
         self.input_layernorm = nn.LayerNorm(use_bias=False, epsilon=1e-5,
@@ -165,9 +187,7 @@ class MotionLatentModel(nn.Module):
             self.learnable_tokens.astype(self.cfg.dtype),
             (b, self.cfg.tokens, self.cfg.feat_dim))
         x = self.encoder_cross_attn(queries, feats, feats)
-        for blk in self.pcd_blocks:
-            x = blk(x)
-        return x
+        return self.pcd_blocks(x)
 
     def encode_video(self, rgb_video, mesh_feat, train: bool = False):
         """Video + mesh tokens -> (B, T, tokens, C) per-frame motion tokens.
@@ -210,11 +230,7 @@ class MotionLatentModel(nn.Module):
         tokens = jnp.concatenate([special, mesh_rep, video_tokens], axis=2)
         tokens = self.input_layernorm(tokens)
 
-        _, _, l, d = tokens.shape
-        x = tokens
-        for gblk, lblk in zip(self.global_blocks, self.local_blocks):
-            x = gblk(x.reshape(b, t * l, d)).reshape(b, t, l, d)
-            x = lblk(x.reshape(b * t, l, d)).reshape(b, t, l, d)
+        x = self.alternating_blocks(tokens)
         return x[:, :, 4:4 + c.tokens, :]
 
     def decode_points(self, pcd_tokens, pcd, normals, rgbs):

@@ -22,7 +22,41 @@ from flax import linen as nn
 from motion324_tpu.ops.attention import multi_head_attention
 
 __all__ = ["RMSNorm", "MLP", "SelfAttention", "CrossAttention",
-           "TransformerBlock", "CrossAttentionBlock"]
+           "TransformerBlock", "CrossAttentionBlock", "stack_blocks"]
+
+
+def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
+                 **block_kwargs):
+    """Stack ``length`` identical blocks via ``nn.scan`` (weights differ per
+    layer, the LAYER PROGRAM is compiled once).
+
+    This is the TPU-native replacement for Python-level layer loops: XLA
+    traces/compiles a single block and iterates it, cutting compile time by
+    ~the layer count. Parameters gain a leading ``length`` axis (the torch
+    checkpoint converter stacks per-layer weights accordingly). ``remat``
+    wraps the block in ``nn.remat`` (the jax.checkpoint analogue of the
+    reference's torch.utils.checkpoint layer groups, model/Pcd_motion.py:375-448).
+    """
+    inner_cls = nn.remat(block_cls, prevent_cse=False) if remat else block_cls
+
+    class _Body(nn.Module):
+        @nn.compact
+        def __call__(self, carry, _):
+            return inner_cls(**block_kwargs, name="block")(carry), None
+
+    _Body.__name__ = f"Scan{block_cls.__name__}"
+
+    class _Stack(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            scan = nn.scan(_Body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           length=length)
+            x, _ = scan(name="layers")(x, None)
+            return x
+
+    _Stack.__name__ = f"Stacked{block_cls.__name__}"
+    return _Stack(name=name)
 
 Dtype = Any
 

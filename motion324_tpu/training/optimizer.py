@@ -32,10 +32,24 @@ def frozen_mask(params):
         lambda path, _: not _path_has_prefix(path), params)
 
 
+_NO_DECAY_LEAVES = {"scale", "bias", "weight"}  # LayerNorm/RMSNorm/biases
+
+
 def decay_mask(params):
-    """True for leaves that receive weight decay (ndim >= 2, trainable)."""
+    """True for leaves that receive weight decay.
+
+    The reference exempts 1-D params — exactly the norm scales and biases
+    (utils/training_utils.py:38-71). With scan-stacked layers those leaves
+    gain a leading layer axis, so the exemption keys on the leaf NAME
+    (kernel/embeddings decay; scale/bias/weight do not).
+    """
+    def leaf_name(path):
+        k = path[-1]
+        return getattr(k, "key", getattr(k, "name", str(k)))
+
     return jax.tree_util.tree_map_with_path(
-        lambda path, p: (p.ndim >= 2) and not _path_has_prefix(path), params)
+        lambda path, p: leaf_name(path) not in _NO_DECAY_LEAVES
+        and not _path_has_prefix(path), params)
 
 
 def create_lr_schedule(lr: float, warmup: int, train_steps: int):

@@ -102,6 +102,13 @@ def _cross_block(sd, name, use_qk_norm=True):
     }
 
 
+def _stack_layers(trees: list[dict]) -> dict:
+    """Per-layer param dicts -> one dict with a leading layer axis per leaf
+    (the layout produced by ``stack_blocks``/nn.scan)."""
+    import jax
+    return jax.tree.map(lambda *xs: np.stack(xs), *trees)
+
+
 def convert_motion_checkpoint(sd: dict, n_pairs: int = 8, pcd_layers: int = 4,
                               use_qk_norm: bool = True,
                               dino: dict | None = None) -> dict:
@@ -124,14 +131,13 @@ def convert_motion_checkpoint(sd: dict, n_pairs: int = 8, pcd_layers: int = 4,
         "head_fc1": _dense(sd, "shared_mlp_output.1"),
         "head_fc2": _dense(sd, "shared_mlp_output.3"),
     }
-    for i in range(pcd_layers):
-        params[f"pcd_block_{i}"] = _self_block(
-            sd, f"points_transformer_blocks.{i}", use_qk_norm)
-    for i in range(n_pairs):
-        params[f"global_block_{i}"] = _self_block(
-            sd, f"global_transformer_blocks.{i}", use_qk_norm)
-        params[f"local_block_{i}"] = _self_block(
-            sd, f"local_transformer_blocks.{i}", use_qk_norm)
+    params["pcd_blocks"] = {"layers": {"block": _stack_layers([
+        _self_block(sd, f"points_transformer_blocks.{i}", use_qk_norm)
+        for i in range(pcd_layers)])}}
+    params["alternating_blocks"] = {"layers": {"block": _stack_layers([
+        {"global": _self_block(sd, f"global_transformer_blocks.{i}", use_qk_norm),
+         "local": _self_block(sd, f"local_transformer_blocks.{i}", use_qk_norm)}
+        for i in range(n_pairs)])}}
 
     if dino is not None:
         params["image_encoder"] = dino
@@ -161,9 +167,10 @@ def convert_dinov2_vitb14(sd: dict, depth: int = 12) -> dict:
         "pos_embed": sd["pos_embed"].astype(np.float32),
         "norm": _ln(sd, "norm"),
     }
+    layers = []
     for i in range(depth):
         b = f"blocks.{i}"
-        params[f"block_{i}"] = {
+        layers.append({
             "norm1": _ln(sd, f"{b}.norm1"),
             "attn": {"qkv": _dense(sd, f"{b}.attn.qkv"),
                      "proj": _dense(sd, f"{b}.attn.proj")},
@@ -172,5 +179,6 @@ def convert_dinov2_vitb14(sd: dict, depth: int = 12) -> dict:
             "mlp_fc1": _dense(sd, f"{b}.mlp.fc1"),
             "mlp_fc2": _dense(sd, f"{b}.mlp.fc2"),
             "ls2_gamma": sd[f"{b}.ls2.gamma"].astype(np.float32),
-        }
+        })
+    params["blocks"] = {"layers": {"block": _stack_layers(layers)}}
     return params

@@ -1,0 +1,64 @@
+"""Segmentation and video preprocessing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motion324_tpu.inference.preprocess import (crop_and_center, global_bbox,
+                                                preprocess_video_frames)
+from motion324_tpu.inference.segmentation import (U2Net, segment_frames,
+                                                  threshold_segment)
+
+
+def _synthetic_video(t=3, h=64, w=64):
+    """Dark background, bright square subject moving right."""
+    frames = np.full((t, h, w, 3), 0.05, np.float32)
+    for i in range(t):
+        frames[i, 20:44, 10 + 4 * i:34 + 4 * i] = [0.9, 0.7, 0.2]
+    return frames
+
+
+def test_threshold_segment_finds_subject():
+    frames = _synthetic_video()
+    masks = threshold_segment(frames)
+    assert masks.shape == (3, 64, 64)
+    # subject interior marked foreground, corner background clear
+    assert masks[0, 30, 20] == 1.0
+    assert masks[0, 2, 2] == 0.0
+
+
+def test_global_bbox_covers_motion():
+    masks = threshold_segment(_synthetic_video())
+    y0, y1, x0, x1 = global_bbox(masks, margin=0.0)
+    assert y0 <= 20 and y1 >= 44
+    assert x0 <= 10 and x1 >= 42  # rightmost frame reaches x=34+8
+
+
+def test_crop_and_center_shape():
+    frame = np.random.RandomState(0).rand(64, 48, 3).astype(np.float32)
+    out = crop_and_center(frame, (10, 50, 5, 45), size=32)
+    assert out.shape == (32, 32, 3)
+
+
+def test_preprocess_video_end_to_end():
+    frames = _synthetic_video()
+    out, masks, bbox = preprocess_video_frames(frames, size=64)
+    assert out.shape == (3, 64, 64, 3)
+    assert masks.shape == (3, 64, 64)
+    # background is blacked out
+    assert out[0, 0, 0].max() < 0.05
+    assert out.max() > 0.5
+
+
+def test_u2net_tiny_forward():
+    """The architecture runs and produces a [0,1] mask at input resolution.
+
+    (Full-size weights come from the public checkpoints via conversion; this
+    exercises the graph with random init on a small input.)"""
+    model = U2Net()
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 64, 64)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= 1).all()

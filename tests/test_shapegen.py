@@ -100,13 +100,13 @@ def test_vae_query_shapes():
                                atol=1e-6)
 
 
-def _sphere_query(pts, _latents):
+def _sphere_query(_params, pts, _latents):
     # analytic occupancy: positive inside radius 0.5
     return 0.5 - jnp.linalg.norm(pts, axis=-1)
 
 
 def test_decode_volume_matches_analytic():
-    grid = decode_volume(_sphere_query, None, resolution=24, box_v=1.0,
+    grid = decode_volume(_sphere_query, None, None, resolution=24, box_v=1.0,
                          chunk=128)
     assert grid.shape == (25, 25, 25)
     center = grid[12, 12, 12]
@@ -115,9 +115,9 @@ def test_decode_volume_matches_analytic():
 
 
 def test_hierarchical_matches_dense_near_surface():
-    dense = decode_volume(_sphere_query, None, resolution=32, box_v=1.0,
+    dense = decode_volume(_sphere_query, None, None, resolution=32, box_v=1.0,
                           chunk=128)
-    hier = decode_volume_hierarchical(_sphere_query, None, resolution=32,
+    hier = decode_volume_hierarchical(_sphere_query, None, None, resolution=32,
                                       box_v=1.0, chunk=128, coarse_factor=4,
                                       band=0.5)
     near = np.abs(dense) < 0.05

@@ -1,0 +1,62 @@
+"""Texture pipeline: UV unwrap validity, packing, end-to-end paint."""
+
+import numpy as np
+import pytest
+
+from motion324_tpu.hy3dgen.paint_pipeline import PaintPipeline
+from motion324_tpu.hy3dgen.uv_unwrap import unwrap_uv
+from motion324_tpu.io.mesh import TriMesh
+
+CUBE_V = (np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], np.float32)
+          - 0.5) * 0.8
+CUBE_F = np.array([[0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                   [0, 1, 5], [0, 5, 4], [2, 3, 7], [2, 7, 6],
+                   [1, 2, 6], [1, 6, 5], [3, 0, 4], [3, 4, 7]], np.int64)
+
+
+def test_unwrap_uv_in_unit_square_no_overlap():
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    out, vmap = unwrap_uv(mesh, texture_size=256)
+    assert out.uv.min() >= 0.0 and out.uv.max() <= 1.0
+    assert len(out.faces) == 12
+    np.testing.assert_allclose(out.vertices, CUBE_V[vmap], atol=1e-6)
+
+    # every face has positive UV area; total area reasonable for 6 charts
+    tri = out.uv[out.faces]
+    area = 0.5 * np.abs((tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
+                        - (tri[:, 2, 0] - tri[:, 0, 0]) * (tri[:, 1, 1] - tri[:, 0, 1]))
+    assert (area > 1e-6).all()
+    assert 0.05 < area.sum() < 1.0
+
+    # rasterize the atlas: no texel belongs to two islands (packing sanity) —
+    # covered texels must be significant for a cube
+    from motion324_tpu.hy3dgen.mesh_render import MeshRenderer
+    r = MeshRenderer(out, texture_size=128, interpret=True)
+    find, _ = r.rasterize_uv()
+    assert (np.asarray(find) > 0).mean() > 0.2
+
+
+def test_unwrap_preserves_world_geometry():
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    out, vmap = unwrap_uv(mesh)
+    # surface area identical (vertex duplication does not move geometry)
+    def area(m):
+        tri = m.vertices[m.faces]
+        return np.linalg.norm(np.cross(tri[:, 1] - tri[:, 0],
+                                       tri[:, 2] - tri[:, 0]), axis=1).sum()
+    np.testing.assert_allclose(area(out), area(mesh), rtol=1e-5)
+
+
+def test_paint_pipeline_end_to_end():
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    image = np.full((64, 64, 3), [0.8, 0.2, 0.1], np.float32)
+    pipe = PaintPipeline(resolution=64, texture_size=64, interpret=True)
+    out = pipe(mesh, image)
+    assert out.texture is not None
+    assert out.texture.shape == (64, 64, 3)
+    assert np.isfinite(out.texture).all()
+    assert out.uv is not None
+    assert hasattr(out, "vmapping")
+    # texture carries signal (not all black)
+    assert out.texture.max() > 0.1
