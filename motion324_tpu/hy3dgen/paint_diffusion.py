@@ -1,0 +1,179 @@
+"""Multiview texture diffusion (HunyuanPaint-equivalent) pipeline.
+
+TPU-native counterpart of the reference's SD-based multiview texture
+generator (reference: scripts/hy3dgen/texgen/hunyuanpaint/pipeline.py:193-722
+and utils/multiview_utils.py:25-87):
+
+- VAE-encode the reference image and per-view normal/position control maps;
+- learned text-CLIP embeddings, no text encoder (pipeline.py learned embeds,
+  modules.py:447-448);
+- per step: a reference 'w' pass records per-layer KV banks, then a CFG pair
+  of 'r' passes denoises all views jointly (reference attention at
+  ref_scale 1 for cond / 0 for uncond — pipeline.py:338-359), with multiview
+  attention tying the views together;
+- Euler-Ancestral sampling over the scaled-linear SD sigma schedule
+  (multiview_utils.py uses diffusers EulerAncestralDiscreteScheduler);
+- VAE-decode the final latents into the six view images.
+
+The whole per-step computation is jitted; the step loop stays in Python so
+ancestral noise comes from a threaded PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
+from motion324_tpu.hy3dgen.sd_vae import SCALING_FACTOR, AutoencoderKL
+
+__all__ = ["MultiviewDiffusion", "sd_sigmas"]
+
+
+def sd_sigmas(num_steps: int, num_train: int = 1000,
+              beta_start: float = 0.00085, beta_end: float = 0.012):
+    """Scaled-linear SD noise schedule -> (timesteps, sigmas[num_steps+1])."""
+    betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5, num_train,
+                        dtype=np.float64) ** 2
+    alphas_cum = np.cumprod(1.0 - betas)
+    all_sigmas = np.sqrt((1 - alphas_cum) / alphas_cum)
+    idx = np.linspace(num_train - 1, 0, num_steps).round().astype(np.int64)
+    sigmas = all_sigmas[idx]
+    return idx.astype(np.float32), np.concatenate(
+        [sigmas, np.zeros(1)]).astype(np.float32)
+
+
+class MultiviewDiffusion:
+    """Callable matching the PaintPipeline synthesizer interface."""
+
+    def __init__(self, params: dict, *, unet: UNet2p5D | None = None,
+                 vae: AutoencoderKL | None = None, text_len: int = 77,
+                 context_dim: int = 1024, dtype: Any = jnp.bfloat16):
+        self.unet = unet or UNet2p5D(dtype=dtype, context_dim=context_dim)
+        self.vae = vae or AutoencoderKL(dtype=dtype)
+        self.params = params
+        self.text_len = text_len
+        self.context_dim = context_dim
+
+        @jax.jit
+        def _encode(vae_params, images):
+            mean, _ = self.vae.apply(vae_params, images,
+                                     method=AutoencoderKL.encode)
+            return mean * SCALING_FACTOR
+
+        @jax.jit
+        def _decode(vae_params, latents):
+            return self.vae.apply(vae_params, latents / SCALING_FACTOR,
+                                  method=AutoencoderKL.decode)
+
+        @jax.jit
+        def _step(unet_params, noisy, ctrl_lat, ref_lat, text_gen, text_ref,
+                  camera_ids, t, sigma, sigma_next, noise, guidance):
+            n_views = noisy.shape[0]
+            scale_in = 1.0 / jnp.sqrt(sigma ** 2 + 1.0)
+
+            # reference 'w' pass records the KV bank
+            ref_in = jnp.concatenate(
+                [ref_lat, jnp.zeros_like(ref_lat), jnp.zeros_like(ref_lat)],
+                axis=-1)
+            _, vars_w = self.unet.apply(
+                unet_params, ref_in, jnp.zeros((1,)), text_ref,
+                jnp.zeros((1,), jnp.int32), 1, "w", mutable=["ref_bank"])
+            bank = vars_w["ref_bank"]
+
+            x_in = jnp.concatenate([noisy * scale_in, ctrl_lat], axis=-1)
+            tt = jnp.full((n_views,), t, jnp.float32)
+            eps_c = self.unet.apply(unet_params, x_in, tt, text_gen,
+                                    camera_ids, n_views, "r", bank,
+                                    ref_scale=1.0)
+            eps_u = self.unet.apply(unet_params, x_in, tt, text_gen,
+                                    camera_ids, n_views, "r", bank,
+                                    ref_scale=0.0)
+            eps = eps_u + guidance * (eps_c - eps_u)
+
+            # Euler-Ancestral update
+            x0 = noisy - sigma * eps
+            s_to2, s_from2 = sigma_next ** 2, sigma ** 2
+            sigma_up = jnp.sqrt(jnp.maximum(
+                s_to2 * (s_from2 - s_to2) / jnp.maximum(s_from2, 1e-12), 0.0))
+            sigma_down = jnp.sqrt(jnp.maximum(s_to2 - sigma_up ** 2, 0.0))
+            d = (noisy - x0) / jnp.maximum(sigma, 1e-12)
+            return x0 + d * sigma_down + noise * sigma_up
+
+        self._encode = _encode
+        self._decode = _decode
+        self._step = _step
+
+    @classmethod
+    def init_random(cls, key=None, *, image_size: int = 64, **kwargs):
+        key = jax.random.PRNGKey(0) if key is None else key
+        self = cls(params={}, **kwargs)
+        k1, k2, k3 = jax.random.split(key, 3)
+        lat = image_size // 8
+        x = jnp.zeros((1, lat, lat, 12))
+        ctx = jnp.zeros((1, self.text_len, self.context_dim))
+        unet_params = jax.jit(
+            lambda k: self.unet.init(k, x, jnp.zeros((1,)), ctx,
+                                     jnp.zeros((1,), jnp.int32), 1, "wr"))(k1)
+        vae_params = jax.jit(
+            lambda k: self.vae.init(
+                k, jnp.zeros((1, image_size, image_size, 3))))(k2)
+        self.params = {
+            "unet": unet_params, "vae": vae_params,
+            "text_gen": jax.random.normal(
+                k3, (1, self.text_len, self.context_dim)) * 0.02,
+            "text_ref": jax.random.normal(
+                k3, (1, self.text_len, self.context_dim)) * 0.02,
+        }
+        return self
+
+    # ------------------------------------------------------------------ #
+    def generate(self, ref_image: np.ndarray, control_images: np.ndarray,
+                 camera_ids=None, num_steps: int = 30,
+                 guidance_scale: float = 3.0, seed: int = 0) -> np.ndarray:
+        """ref (H, W, 3), control (N, H, W, 6: normal+position) -> (N, H, W, 3)."""
+        n_views, h, w, _ = control_images.shape
+        ref_lat = self._encode(self.params["vae"],
+                               jnp.asarray(ref_image)[None] * 2 - 1)
+        normal_lat = self._encode(self.params["vae"],
+                                  jnp.asarray(control_images[..., :3]) * 2 - 1)
+        pos_lat = self._encode(self.params["vae"],
+                               jnp.asarray(control_images[..., 3:6]) * 2 - 1)
+        ctrl = jnp.concatenate([normal_lat, pos_lat], axis=-1)
+
+        if camera_ids is None:
+            camera_ids = jnp.arange(n_views, dtype=jnp.int32) + 5
+        text_gen = jnp.repeat(jnp.asarray(self.params["text_gen"]), n_views, 0)
+        text_ref = jnp.asarray(self.params["text_ref"])
+
+        timesteps, sigmas = sd_sigmas(num_steps)
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        # latent resolution follows the VAE's actual downsampling factor
+        lat_shape = (n_views, ctrl.shape[1], ctrl.shape[2], 4)
+        x = jax.random.normal(k0, lat_shape) * sigmas[0]
+
+        for i in range(num_steps):
+            key, kn = jax.random.split(key)
+            noise = jax.random.normal(kn, lat_shape)
+            x = self._step(self.params["unet"], x, ctrl, ref_lat, text_gen,
+                           text_ref, camera_ids, float(timesteps[i]),
+                           float(sigmas[i]), float(sigmas[i + 1]), noise,
+                           float(guidance_scale))
+        imgs = self._decode(self.params["vae"], x)
+        return np.clip((np.asarray(imgs) + 1) / 2, 0, 1)
+
+    # PaintPipeline synthesizer interface ------------------------------- #
+    def __call__(self, cond_image, views, renders):
+        control = np.stack([
+            np.concatenate([(r["normal"] + 1) / 2, r["position"] + 0.5],
+                           axis=-1) for r in renders])
+        h = renders[0]["mask"].shape[0]
+        import cv2
+        ref = cv2.resize(cond_image, (h, h), interpolation=cv2.INTER_AREA)
+        imgs = self.generate(ref.astype(np.float32),
+                             control.astype(np.float32))
+        return [img * r["mask"][..., None] for img, r in zip(imgs, renders)]
