@@ -113,11 +113,12 @@ class MultiviewDiffusion:
         self = cls(params={}, **kwargs)
         k1, k2, k3 = jax.random.split(key, 3)
         lat = image_size // 8
-        x = jnp.zeros((1, lat, lat, 12))
-        ctx = jnp.zeros((1, self.text_len, self.context_dim))
+        # init with n_views=2 so the multiview-attention params are created
+        x = jnp.zeros((2, lat, lat, 12))
+        ctx = jnp.zeros((2, self.text_len, self.context_dim))
         unet_params = jax.jit(
-            lambda k: self.unet.init(k, x, jnp.zeros((1,)), ctx,
-                                     jnp.zeros((1,), jnp.int32), 1, "wr"))(k1)
+            lambda k: self.unet.init(k, x, jnp.zeros((2,)), ctx,
+                                     jnp.zeros((2,), jnp.int32), 2, "wr"))(k1)
         vae_params = jax.jit(
             lambda k: self.vae.init(
                 k, jnp.zeros((1, image_size, image_size, 3))))(k2)
