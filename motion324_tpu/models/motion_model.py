@@ -106,6 +106,34 @@ class AlternatingPair(nn.Module):
         return x
 
 
+class _PointDecoderFrame(nn.Module):
+    """Decode one frame's tokens against the (shared) point queries.
+
+    Scanned over T with BROADCAST params (``variable_axes={'params': None}``):
+    the backward pass recomputes per frame, so peak activation memory is one
+    frame's worth instead of B*T*N*4C (which OOMs a 16 GB chip at the dyscene
+    training shapes).
+    """
+
+    dim: int
+    head_dim: int
+    use_qk_norm: bool
+    dtype: Any
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, feats, tokens_t):
+        x = CrossAttentionBlock(dim=self.dim, head_dim=self.head_dim,
+                                use_qk_norm=self.use_qk_norm, dtype=self.dtype,
+                                attn_backend=self.attn_backend,
+                                name="cross")(feats, tokens_t, tokens_t)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="head_fc1")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x))
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(3, dtype=self.dtype, name="head_fc2")(x)
+        return feats, x
+
+
 class MotionLatentModel(nn.Module):
     """Predicts per-point 3D trajectories from a shape point cloud and a video.
 
@@ -157,13 +185,18 @@ class MotionLatentModel(nn.Module):
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
         self.input_layernorm = nn.LayerNorm(use_bias=False, epsilon=1e-5,
                                             dtype=c.dtype, name="input_layernorm")
-        self.decoder_cross_attn = xblock(**kw, name="decoder_cross_attn")
 
-        # Output head: LayerNorm(bias) -> Dense -> GELU -> Dense(3), with biases
-        # (reference :336-341 uses torch defaults here).
-        self.head_norm = nn.LayerNorm(epsilon=1e-5, dtype=c.dtype, name="head_norm")
-        self.head_fc1 = nn.Dense(c.feat_dim, dtype=c.dtype, name="head_fc1")
-        self.head_fc2 = nn.Dense(3, dtype=c.dtype, name="head_fc2")
+        # per-frame decoder (cross-attn + LayerNorm->Dense->GELU->Dense(3) head
+        # with biases, reference :336-341), scanned over T with shared params
+        frame_cls = nn.remat(_PointDecoderFrame, prevent_cse=False) \
+            if c.remat else _PointDecoderFrame
+        self.point_decoder = nn.scan(
+            frame_cls,
+            variable_broadcast="params",  # same weights every frame
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0, out_axes=0,
+        )(dim=c.feat_dim, head_dim=c.head_dim, use_qk_norm=c.use_qk_norm,
+          dtype=c.dtype, attn_backend=c.attn_backend, name="point_decoder")
 
         grid = c.image_size // c.patch_size
         self.video_pos_embed = video_pos_embed(c.frames, grid, grid, c.feat_dim)
@@ -236,21 +269,19 @@ class MotionLatentModel(nn.Module):
     def decode_points(self, pcd_tokens, pcd, normals, rgbs):
         """Per-frame tokens + query points -> (B, T, N, 3) positions.
 
-        The reference's per-frame loop + eval chunking (reference :529-577) is a
-        single batched cross-attention here: queries are broadcast over T and T
-        folds into the batch axis. Callers chunk N outside jit if needed.
+        The reference's Python per-frame loop + eval chunking (reference
+        :529-577) becomes a ``lax.scan`` over T with shared decoder weights:
+        point features are computed ONCE (the reference recomputes identical
+        embeddings every frame), each scan step decodes one frame, and remat
+        keeps peak activation memory at a single frame. Callers chunk N
+        outside jit for very large vertex counts.
         """
-        c = self.cfg
         b, t, _, d = pcd_tokens.shape
         n = pcd.shape[1]
         feats = self._point_features(pcd, normals, rgbs)  # (B, N, C)
-        q = jnp.broadcast_to(feats[:, None], (b, t, n, d)).reshape(b * t, n, d)
-        kv = pcd_tokens.reshape(b * t, c.tokens, d)
-        x = self.decoder_cross_attn(q, kv, kv)
-        x = self.head_fc1(self.head_norm(x))
-        x = nn.gelu(x, approximate=False)
-        x = self.head_fc2(x)
-        return x.reshape(b, t, n, 3).astype(jnp.float32)
+        tokens_t = pcd_tokens.transpose(1, 0, 2, 3)  # (T, B, K, C)
+        _, outs = self.point_decoder(feats, tokens_t)  # (T, B, N, 3)
+        return outs.transpose(1, 0, 2, 3).astype(jnp.float32)
 
     def __call__(self, sample, train: bool = False):
         mesh_feat = self.encode_shape(sample["ref_shape_pcd"],

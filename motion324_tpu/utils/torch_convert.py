@@ -125,11 +125,14 @@ def convert_motion_checkpoint(sd: dict, n_pairs: int = 8, pcd_layers: int = 4,
         "point_embed_mlp": _dense(sd, "point_embed.mlp"),
         "point_normal_rgb_proj": _dense(sd, "point_normal_rgb_proj"),
         "encoder_cross_attn": _cross_block(sd, "encoder_cross_attn", use_qk_norm),
-        "decoder_cross_attn": _cross_block(sd, "decoder_cross_attn", use_qk_norm),
         "input_layernorm": _ln(sd, "transformer_input_layernorm"),
-        "head_norm": _ln(sd, "shared_mlp_output.0"),
-        "head_fc1": _dense(sd, "shared_mlp_output.1"),
-        "head_fc2": _dense(sd, "shared_mlp_output.3"),
+        # scanned per-frame decoder: params broadcast over T (no leading axis)
+        "point_decoder": {
+            "cross": _cross_block(sd, "decoder_cross_attn", use_qk_norm),
+            "head_norm": _ln(sd, "shared_mlp_output.0"),
+            "head_fc1": _dense(sd, "shared_mlp_output.1"),
+            "head_fc2": _dense(sd, "shared_mlp_output.3"),
+        },
     }
     params["pcd_blocks"] = {"layers": {"block": _stack_layers([
         _self_block(sd, f"points_transformer_blocks.{i}", use_qk_norm)

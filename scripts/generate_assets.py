@@ -1,0 +1,96 @@
+"""CLI: batch image -> mesh (+texture) generation with workload sharding.
+
+Equivalent of the reference's ``scripts/hunyuan_Gen.py`` orchestrator
+(reference: hunyuan_Gen.py:105-222): scan ``*_processed/masked_rgb``
+directories, split the workload across ``--N`` shards by greedy size
+balancing (:126-137), and for each first-frame image run shape generation,
+mesh cleanup (floaters/degenerate/decimation, :197-200) and optionally the
+texture pipeline, exporting GLBs.
+
+Usage::
+
+    python scripts/generate_assets.py --input-root data/ --N 4 --n 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def greedy_shards(items_with_cost: list[tuple[str, int]], n_shards: int):
+    """Greedy balanced assignment: heaviest first onto the lightest shard
+    (reference hunyuan_Gen.py:126-137)."""
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for item, cost in sorted(items_with_cost, key=lambda x: -x[1]):
+        i = loads.index(min(loads))
+        shards[i].append(item)
+        loads[i] += cost
+    return shards
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input-root", required=True)
+    p.add_argument("--output", default="./generated_assets")
+    p.add_argument("--N", type=int, default=1, help="total shards")
+    p.add_argument("--n", type=int, default=0, help="this shard index")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--octree-resolution", type=int, default=384)
+    p.add_argument("--max-faces", type=int, default=40000)
+    p.add_argument("--texture", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from motion324_tpu.hy3dgen.paint_pipeline import PaintPipeline
+    from motion324_tpu.hy3dgen.postprocess import (reduce_faces,
+                                                   remove_degenerate,
+                                                   remove_floaters)
+    from motion324_tpu.hy3dgen.shape_pipeline import ShapeGenPipeline
+    from motion324_tpu.io.glb import export_glb
+    from motion324_tpu.utils.logging import log
+
+    jobs = []
+    for name in sorted(os.listdir(args.input_root)):
+        rgb_dir = os.path.join(args.input_root, name, "masked_rgb")
+        if os.path.isdir(rgb_dir):
+            frames = sorted(os.listdir(rgb_dir))
+            if frames:
+                jobs.append((os.path.join(rgb_dir, frames[0]), len(frames)))
+    if not jobs:
+        log(f"no *_processed/masked_rgb jobs under {args.input_root}")
+        return 1
+    mine = greedy_shards(jobs, args.N)[args.n]
+    log(f"shard {args.n}/{args.N}: {len(mine)} of {len(jobs)} jobs")
+
+    pipe = ShapeGenPipeline.init_random()
+    painter = PaintPipeline() if args.texture else None
+    os.makedirs(args.output, exist_ok=True)
+    for img_path in mine:
+        stem = img_path.split(os.sep)[-3].replace("_processed", "")
+        image = np.asarray(Image.open(img_path).convert("RGB"),
+                           dtype=np.float32) / 255.0
+        mesh = pipe(image, num_inference_steps=args.steps,
+                    octree_resolution=args.octree_resolution)
+        if not len(mesh.faces):
+            log(f"{stem}: empty mesh, skipping")
+            continue
+        mesh = reduce_faces(remove_degenerate(remove_floaters(mesh)),
+                            args.max_faces)
+        if painter is not None:
+            mesh = painter(mesh, image)
+        out = os.path.join(args.output, f"{stem}.glb")
+        export_glb(out, mesh.vertices, mesh.faces, uv=mesh.uv,
+                   texture=mesh.texture)
+        log(f"{stem}: wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

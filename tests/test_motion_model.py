@@ -106,5 +106,5 @@ def test_image_encoder_frozen(model_and_params):
     dino = grads["params"]["image_encoder"]
     leaf_norms = [float(jnp.abs(g).max()) for g in jax.tree.leaves(dino)]
     assert max(leaf_norms) == 0.0
-    other = grads["params"]["decoder_cross_attn"]
+    other = grads["params"]["point_decoder"]
     assert max(float(jnp.abs(g).max()) for g in jax.tree.leaves(other)) > 0.0
