@@ -128,7 +128,7 @@ def test_grad_accumulation_matches_big_batch():
     lb = jax.tree.leaves(state_b.params)
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=1e-5, rtol=1e-4)
+                                   atol=1e-4, rtol=1e-3)
 
 
 def test_frozen_encoder_not_updated(setup):
