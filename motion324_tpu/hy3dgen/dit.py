@@ -208,17 +208,40 @@ class Hunyuan3DDiT(nn.Module):
         cond = nn.Dense(self.hidden_size, dtype=self.dtype,
                         name="cond_in")(cond.astype(self.dtype))
 
-        for i in range(self.depth):
-            latent, cond = DoubleStreamBlock(
-                self.hidden_size, self.num_heads, self.mlp_ratio,
-                self.qkv_bias, self.dtype, self.attn_backend,
-                name=f"double_{i}")(latent, cond, vec)
+        # scan over identical blocks: one compiled block program per stack
+        double_kw = dict(dim=self.hidden_size, num_heads=self.num_heads,
+                         mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                         dtype=self.dtype, attn_backend=self.attn_backend)
+
+        class _DoubleBody(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                img, txt, v = carry
+                img, txt = DoubleStreamBlock(**double_kw, name="block")(
+                    img, txt, v)
+                return (img, txt, v), None
+
+        (latent, cond, _), _ = nn.scan(
+            _DoubleBody, variable_axes={"params": 0},
+            split_rngs={"params": True}, length=self.depth,
+        )(name="double_blocks")((latent, cond, vec), None)
+
+        single_kw = dict(dim=self.hidden_size, num_heads=self.num_heads,
+                         mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                         attn_backend=self.attn_backend)
+
+        class _SingleBody(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                x, v = carry
+                x = SingleStreamBlock(**single_kw, name="block")(x, v)
+                return (x, v), None
 
         merged = jnp.concatenate([cond, latent], axis=1)
-        for i in range(self.depth_single_blocks):
-            merged = SingleStreamBlock(
-                self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
-                self.attn_backend, name=f"single_{i}")(merged, vec)
+        (merged, _), _ = nn.scan(
+            _SingleBody, variable_axes={"params": 0},
+            split_rngs={"params": True}, length=self.depth_single_blocks,
+        )(name="single_blocks")((merged, vec), None)
         latent = merged[:, cond.shape[1]:]
 
         # LastLayer (adaLN final projection)

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["flow_match_sigmas", "euler_step", "scale_noise"]
+__all__ = ["flow_match_sigmas", "consistency_flow_match_sigmas", "euler_step",
+           "scale_noise"]
 
 
 def flow_match_sigmas(num_steps: int, shift: float = 1.0) -> np.ndarray:
@@ -21,6 +22,28 @@ def flow_match_sigmas(num_steps: int, shift: float = 1.0) -> np.ndarray:
     if shift != 1.0:
         sigmas = shift * sigmas / (1 + (shift - 1) * sigmas)
     return np.concatenate([sigmas, np.ones(1, np.float32)])
+
+
+def consistency_flow_match_sigmas(num_steps: int,
+                                  num_train_timesteps: int = 1000,
+                                  pcm_timesteps: int = 50) -> np.ndarray:
+    """Sigma ladder for consistency (PCM-distilled) flow matching.
+
+    Reproduces ``ConsistencyFlowMatchEulerDiscreteScheduler`` (reference
+    schedulers.py:335-415): the train-time sigma grid is subsampled to
+    ``pcm_timesteps`` segment boundaries, inference picks ``num_steps`` of
+    those (linspace without endpoint), and a terminal 1.0 is appended. The
+    Euler update is identical to :func:`euler_step`.
+    """
+    sigmas = np.linspace(0.0, 1.0, num_train_timesteps, dtype=np.float64)
+    step_ratio = num_train_timesteps // pcm_timesteps
+    euler_ts = (np.arange(1, pcm_timesteps) * step_ratio).round().astype(np.int64) - 1
+    euler_ts = np.concatenate([[0], euler_ts])
+    grid = sigmas[euler_ts]
+    idx = np.linspace(0, pcm_timesteps, num=num_steps,
+                      endpoint=False).astype(np.int64)
+    chosen = grid[np.clip(idx, 0, len(grid) - 1)]
+    return np.concatenate([chosen, np.ones(1)]).astype(np.float32)
 
 
 def euler_step(sample, velocity, sigma, sigma_next):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -101,12 +102,11 @@ class ShapeVAE(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        from motion324_tpu.models.transformer import stack_blocks
         self.post_kl = nn.Dense(self.width, dtype=self.dtype, name="post_kl")
-        self.blocks = [
-            _SelfAttnBlock(self.width, self.heads, dtype=self.dtype,
-                           name=f"block_{i}")
-            for i in range(self.num_decoder_layers)
-        ]
+        self.blocks = stack_blocks(_SelfAttnBlock, self.num_decoder_layers,
+                                   name="blocks", width=self.width,
+                                   heads=self.heads, dtype=self.dtype)
         self.query_proj = nn.Dense(self.width, dtype=self.dtype,
                                    name="query_proj")
         self.geo_decoder = _CrossAttnBlock(self.width, self.heads,
@@ -117,9 +117,7 @@ class ShapeVAE(nn.Module):
     def decode(self, latents):
         """(B, num_latents, embed_dim) -> (B, num_latents, width) processed set."""
         x = self.post_kl(latents.astype(self.dtype) / self.scale_factor)
-        for blk in self.blocks:
-            x = blk(x)
-        return x
+        return self.blocks(x)
 
     def query(self, points, processed_latents):
         """(B, N, 3) points -> (B, N) occupancy logits."""
@@ -128,6 +126,28 @@ class ShapeVAE(nn.Module):
                               include_pi=self.include_pi)
         q = self.query_proj(emb)
         x = self.geo_decoder(q, processed_latents)
+        x = self.ln_post(x)
+        return self.output_proj(x)[..., 0].astype(jnp.float32)
+
+    def query_topk(self, points, processed_latents, topk: int = 256,
+                   probe_stride: int = 100):
+        """FlashVDM-style sparsified query (reference
+        scripts/hy3dgen/shapegen/models/autoencoders/attention_processors.py:39-71):
+        probe every ``probe_stride``-th query, rank latents by mean similarity
+        to the probes, and cross-attend only against the top-k latents. Spatial
+        coherence of volume-decode chunks makes the probe ranking accurate;
+        with ``topk >= num_latents`` this equals :meth:`query` exactly.
+        """
+        emb = frequency_embed(points.astype(self.dtype),
+                              num_freqs=self.num_freqs,
+                              include_pi=self.include_pi)
+        q = self.query_proj(emb)  # (B, N, W)
+        k = min(topk, processed_latents.shape[1])
+        probes = q[:, ::probe_stride]  # (B, P, W)
+        scores = jnp.einsum("bpw,blw->bl", probes, processed_latents)
+        _, idx = jax.lax.top_k(scores, k)  # (B, k)
+        subset = jnp.take_along_axis(processed_latents, idx[..., None], axis=1)
+        x = self.geo_decoder(q, subset)
         x = self.ln_post(x)
         return self.output_proj(x)[..., 0].astype(jnp.float32)
 

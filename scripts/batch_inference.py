@@ -1,0 +1,87 @@
+"""CLI: batch sliding-window inference over a list of long videos.
+
+The `long_videos.txt` batch driver from the BASELINE configs: one line per
+job, ``mesh_path video_path`` (or just ``video_path`` for the video-only
+path). Shares one compiled pipeline across all clips — the window length and
+decode chunks are static shapes, so every clip after the first runs without
+recompilation.
+
+Usage::
+
+    python scripts/batch_inference.py --list long_videos.txt \
+        --checkpoint ckpt.pt --output ./outputs/batch [training.frames=256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--list", required=True, dest="list_path")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--output", default="./outputs/batch")
+    parser.add_argument("--config", default="configs/dyscene.yaml")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from motion324_tpu.config import load_config
+    from motion324_tpu.inference.pipeline import MotionPipeline
+    from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+    from motion324_tpu.utils.logging import log
+
+    cfg = load_config(args.config, args.overrides)
+    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
+    model = MotionLatentModel(mcfg)
+
+    if args.checkpoint and args.checkpoint.endswith(".pt"):
+        from motion324_tpu.utils.torch_convert import (
+            convert_motion_checkpoint, load_torch_state_dict)
+        params = convert_motion_checkpoint(load_torch_state_dict(args.checkpoint))
+    else:
+        import jax.numpy as jnp
+        example = {k: jnp.zeros((1, 64, 3)) for k in
+                   ("ref_shape_pcd", "ref_shape_normals", "ref_shape_rgbs",
+                    "ref_pcd", "ref_normal", "ref_rgb")}
+        example["rgb_video"] = jnp.zeros((1, 2, mcfg.image_size,
+                                          mcfg.image_size, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+        log("WARNING: random weights (no --checkpoint)")
+
+    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames))
+
+    with open(args.list_path) as f:
+        jobs = [line.split() for line in f if line.strip()
+                and not line.startswith("#")]
+    log(f"{len(jobs)} jobs from {args.list_path}")
+
+    failures = 0
+    for job in jobs:
+        if len(job) < 2:
+            log(f"skipping malformed line: {job}")
+            failures += 1
+            continue
+        mesh_path, video_path = job[0], job[1]
+        stem = os.path.splitext(os.path.basename(video_path))[0]
+        out_dir = os.path.join(args.output, stem)
+        try:
+            pipeline.run(mesh_path, video_path, out_dir,
+                         num_shape_samples=int(cfg.training.get(
+                             "num_shape_samples", 16384)))
+        except Exception as e:  # keep the batch going (reference batch mode)
+            log(f"job {stem} FAILED: {e!r}")
+            failures += 1
+    log(f"batch done: {len(jobs) - failures}/{len(jobs)} succeeded")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,3 +183,29 @@ def test_shape_pipeline_tiny_end_to_end():
                 hierarchical=False, num_chunks=128)
     assert mesh.vertices.ndim == 2 and mesh.vertices.shape[1] == 3
     assert np.isfinite(mesh.vertices).all() if len(mesh.vertices) else True
+
+
+def test_consistency_sigmas():
+    from motion324_tpu.hy3dgen.scheduler import consistency_flow_match_sigmas
+    s = consistency_flow_match_sigmas(5)
+    assert len(s) == 6
+    assert s[-1] == 1.0
+    assert (np.diff(s) >= 0).all()
+
+
+def test_vae_query_topk_full_equals_dense():
+    vae = ShapeVAE(num_latents=16, embed_dim=8, width=32, heads=4,
+                   num_decoder_layers=1)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (1, 20, 3)) * 0.3
+    params = vae.init(jax.random.PRNGKey(2), lat, pts)
+    processed = vae.apply(params, lat, method=ShapeVAE.decode)
+    dense = vae.apply(params, pts, processed, method=ShapeVAE.query)
+    sparse_full = vae.apply(params, pts, processed, 16, 4,
+                            method=ShapeVAE.query_topk)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse_full),
+                               atol=1e-4, rtol=1e-4)
+    # truncated top-k still runs and is finite
+    sparse = vae.apply(params, pts, processed, 8, 4,
+                       method=ShapeVAE.query_topk)
+    assert np.isfinite(np.asarray(sparse)).all()
