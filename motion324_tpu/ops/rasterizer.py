@@ -133,11 +133,13 @@ def _raster_kernel(coeff_ref, zout_ref, fout_ref, zscr, fscr,
 
     @pl.when(ic == nc - 1)
     def _finalise():
-        zout_ref[:] = zscr[:, :1].reshape(zout_ref.shape)
+        # outputs are (block_px // 128, 128) lane tiles; the (block_px,) row
+        # order flattens to the same pixel order
+        zout_ref[:] = zscr[:, 0].reshape(zout_ref.shape)
         # coverage is decided by depth: an all-masked pixel still carries the
         # minimum PAD face id, but its z stays at the sentinel
-        covered = zscr[:, :1] < _BIG_Z
-        fout_ref[:] = jnp.where(covered, fscr[:, :1] + 1, 0).reshape(fout_ref.shape)
+        covered = zscr[:, 0] < _BIG_Z
+        fout_ref[:] = jnp.where(covered, fscr[:, 0] + 1, 0).reshape(fout_ref.shape)
 
 
 def _ceil_to(x, m):
@@ -145,7 +147,7 @@ def _ceil_to(x, m):
 
 
 def rasterize(pos, faces, width: int, height: int, *,
-              block_px: int = 512, block_f: int = 256,
+              block_px: int = 1024, block_f: int = 256,
               interpret: bool = False):
     """Rasterize clip-space triangles on TPU.
 
@@ -172,6 +174,9 @@ def rasterize(pos, faces, width: int, height: int, *,
     px_pad = _ceil_to(n_pix, block_px)
     grid = (px_pad // block_px, f_pad // block_f)
 
+    # outputs as (rows, 128) lane tiles: TPU lowering requires the last two
+    # block dims be (8k, 128)-aligned; block_px must be a multiple of 1024
+    rows_per_block = block_px // _LANES
     kernel = functools.partial(_raster_kernel, width=width, block_px=block_px,
                                block_f=block_f, num_faces=num_faces)
     zbuf, find = pl.pallas_call(
@@ -179,12 +184,12 @@ def rasterize(pos, faces, width: int, height: int, *,
         grid=grid,
         in_specs=[pl.BlockSpec((10, block_f), lambda ip, ic: (0, ic))],
         out_specs=[
-            pl.BlockSpec((block_px,), lambda ip, ic: (ip,)),
-            pl.BlockSpec((block_px,), lambda ip, ic: (ip,)),
+            pl.BlockSpec((rows_per_block, _LANES), lambda ip, ic: (ip, 0)),
+            pl.BlockSpec((rows_per_block, _LANES), lambda ip, ic: (ip, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((px_pad,), jnp.int32),
-            jax.ShapeDtypeStruct((px_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((px_pad // _LANES, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((px_pad // _LANES, _LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_px, _LANES), jnp.int32),
@@ -196,7 +201,7 @@ def rasterize(pos, faces, width: int, height: int, *,
         interpret=interpret,
     )(coeffs)
 
-    findices = find[:n_pix].reshape(height, width)
+    findices = find.reshape(-1)[:n_pix].reshape(height, width)
     bary = _barycentrics(pos, faces, findices, width, height)
     return findices, bary
 

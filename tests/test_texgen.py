@@ -60,3 +60,47 @@ def test_paint_pipeline_end_to_end():
     assert hasattr(out, "vmapping")
     # texture carries signal (not all black)
     assert out.texture.max() > 0.1
+
+
+# --------------------------------------------------------------------------- #
+# voxel-locality attention (turbo mode)
+# --------------------------------------------------------------------------- #
+def test_voxel_grid_mask_near_far():
+    import jax.numpy as jnp
+    from motion324_tpu.hy3dgen.voxel_attention import voxel_grid_mask
+    g, hw = 2, 8
+    # two views: same geometry -> mask should link corresponding cells;
+    # a view shifted far away -> no cross links
+    pos_a = np.zeros((1, 1, hw, hw, 3), np.float32) + 0.25
+    pos_far = np.zeros((1, 1, hw, hw, 3), np.float32) + 0.9
+    both = np.concatenate([pos_a, pos_a], axis=1)
+    mask_same = np.asarray(voxel_grid_mask(jnp.asarray(both), g))
+    assert mask_same.shape == (1, 2 * g * g, 2 * g * g)
+    assert mask_same.all()  # identical positions -> everything within range
+
+    mixed = np.concatenate([pos_a, pos_far], axis=1)
+    mask_mixed = np.asarray(voxel_grid_mask(jnp.asarray(mixed), g))
+    l = g * g
+    assert mask_mixed[0, :l, :l].all()        # view 0 with itself
+    assert not mask_mixed[0, :l, l:].any()    # cross-view: far apart
+
+
+def test_voxel_grid_mask_background_ignored():
+    import jax.numpy as jnp
+    from motion324_tpu.hy3dgen.voxel_attention import voxel_grid_mask
+    pos = np.ones((1, 1, 8, 8, 3), np.float32)  # all background (==1)
+    mask = np.asarray(voxel_grid_mask(jnp.asarray(pos), 2))
+    # all cells collapse to 0 -> trivially within range of each other
+    assert mask.shape == (1, 4, 4)
+
+
+def test_discrete_voxel_indices_range():
+    import jax.numpy as jnp
+    from motion324_tpu.hy3dgen.voxel_attention import (
+        discrete_voxel_indices, multi_resolution_voxel_indices)
+    pos = np.random.RandomState(0).rand(1, 2, 16, 16, 3).astype(np.float32)
+    idx = np.asarray(discrete_voxel_indices(jnp.asarray(pos), 4, 64))
+    assert idx.shape == (1, 2 * 16, 3)
+    assert idx.min() >= 0 and idx.max() <= 63
+    multi = multi_resolution_voxel_indices(jnp.asarray(pos), (4,), (64,))
+    assert 32 in multi
