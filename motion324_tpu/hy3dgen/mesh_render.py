@@ -10,6 +10,8 @@ texture back-projection with cosine-power view weighting.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -46,22 +48,13 @@ class MeshRenderer:
         """Render one view: returns dict with ``mask``, ``depth``, ``normal``
         (world-space, [-1,1]), ``position`` (world-space xyz) images."""
         pos_clip = self._clip_positions(elev, azim)
-        find, bary = rasterize(pos_clip, self.mesh.faces, self.resolution,
-                               self.resolution, interpret=self.interpret)
-        faces = jnp.asarray(self.mesh.faces)
-        mask = np.asarray(find) > 0
-
-        normal = np.asarray(interpolate(jnp.asarray(self._vn), find, bary, faces))
-        norm = np.linalg.norm(normal, axis=-1, keepdims=True)
-        normal = normal / np.where(norm == 0, 1.0, norm)
-
-        position = np.asarray(interpolate(jnp.asarray(self.mesh.vertices),
-                                          find, bary, faces))
-        z = np.asarray(interpolate(
-            jnp.asarray(pos_clip[:, 2:3] / pos_clip[:, 3:4]), find, bary, faces))
-        return {"mask": mask, "normal": normal, "position": position,
-                "depth": z[..., 0], "findices": np.asarray(find),
-                "bary": np.asarray(bary)}
+        find, bary, normal, position, z = _view_products(
+            jnp.asarray(pos_clip), jnp.asarray(self.mesh.faces, jnp.int32),
+            jnp.asarray(self._vn), jnp.asarray(self.mesh.vertices),
+            self.resolution, self.interpret)
+        return {"mask": np.asarray(find) > 0, "normal": np.asarray(normal),
+                "position": np.asarray(position), "depth": np.asarray(z),
+                "findices": np.asarray(find), "bary": np.asarray(bary)}
 
     # ------------------------------------------------------------------ #
     def rasterize_uv(self):
@@ -143,6 +136,22 @@ class MeshRenderer:
             wacc += w * vw
         tex = acc / np.maximum(wacc, 1e-8)
         return tex, wacc[..., 0] > 1e-8
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _view_products(pos_clip, faces, vn, verts, resolution, interpret):
+    """One fused program per view: rasterize + interpolate normals/positions/
+    depth (eager per-op dispatch is pathological over a TPU tunnel)."""
+    from motion324_tpu.ops.rasterizer import _rasterize_impl
+    find, bary = _rasterize_impl(pos_clip, faces, resolution, resolution,
+                                 interpret=interpret)
+    normal = interpolate(vn, find, bary, faces)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(norm == 0, 1.0, norm)
+    position = interpolate(verts, find, bary, faces)
+    z = interpolate(pos_clip[:, 2:3] / pos_clip[:, 3:4], find, bary,
+                    faces)[..., 0]
+    return find, bary, normal, position, z
 
 
 def _bilinear(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:

@@ -146,9 +146,24 @@ def _ceil_to(x, m):
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _rasterize_jit(pos, faces, width, height, block_px, block_f, interpret):
+    return _rasterize_impl(pos, faces, width, height, block_px=block_px,
+                           block_f=block_f, interpret=interpret)
+
+
 def rasterize(pos, faces, width: int, height: int, *,
               block_px: int = 1024, block_f: int = 256,
               interpret: bool = False):
+    """Jitted entry point (eager dispatch is pathological over a TPU tunnel)."""
+    return _rasterize_jit(jnp.asarray(pos, jnp.float32),
+                          jnp.asarray(faces, jnp.int32),
+                          width, height, block_px, block_f, interpret)
+
+
+def _rasterize_impl(pos, faces, width: int, height: int, *,
+                    block_px: int = 1024, block_f: int = 256,
+                    interpret: bool = False):
     """Rasterize clip-space triangles on TPU.
 
     Args:
