@@ -87,10 +87,9 @@ def main(argv=None):
         img = (view["normal"] * 0.5 + 0.5) * view["mask"][..., None]
         frames.append((img * 255).astype(np.uint8))
 
-    import imageio.v3 as iio
-    video_path = os.path.join(args.out, "blob.mp4")
-    iio.imwrite(video_path, np.stack(frames), fps=8, codec="libx264",
-                plugin="pyav")
+    from motion324_tpu.io.video import write_video
+    video_path = write_video(os.path.join(args.out, "blob.mp4"),
+                             np.stack(frames), fps=8)
     print(f"wrote {mesh_path} and {video_path}")
     print("try: python scripts/inference_with_video_mesh.py "
           f"--mesh {mesh_path} --video {video_path} --output outputs/blob "

@@ -39,11 +39,12 @@ DECODE_CHUNK = 4096  # reference model/Pcd_motion.py:527 eval chunk size
 
 
 def load_video(path: str, max_frames: int | None = None) -> np.ndarray:
-    """Read a video file into ``(T, H, W, 3) float32 in [0, 1]``."""
+    """Read a video or image file into ``(T, H, W, 3) float32 in [0, 1]``."""
+    if path.endswith((".mp4", ".mov", ".avi", ".mkv")):
+        from motion324_tpu.io.video import read_video
+        return read_video(path, max_frames)
     import imageio.v3 as iio
-    frames = iio.imread(path, plugin="pyav") if path.endswith((".mp4", ".mov")) \
-        else iio.imread(path)
-    frames = np.asarray(frames)
+    frames = np.asarray(iio.imread(path))
     if frames.ndim == 3:
         frames = frames[None]
     if max_frames:

@@ -1,0 +1,54 @@
+"""Video file I/O via OpenCV (the only video backend in this environment).
+
+The reference reads videos with imageio/ffmpeg (scripts/
+inference_with_video_mesh.py:26-57) and writes with imageio+libx264
+(scripts/images2video.py). Here both directions go through cv2 (BGR<->RGB
+conversion handled internally).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+__all__ = ["read_video", "write_video"]
+
+
+def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
+    """-> (T, H, W, 3) float32 RGB in [0, 1]."""
+    import cv2
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video {path}")
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if max_frames and len(frames) >= max_frames:
+            break
+    cap.release()
+    if not frames:
+        raise ValueError(f"no frames decoded from {path}")
+    return np.stack(frames).astype(np.float32) / 255.0
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 12) -> str:
+    """frames (T, H, W, 3) uint8 or float [0,1] RGB -> mp4 (mp4v codec)."""
+    import cv2
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    t, h, w = frames.shape[:3]
+    h2, w2 = h - h % 2, w - w % 2
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w2, h2))
+    if not writer.isOpened():
+        raise RuntimeError(f"cannot open VideoWriter for {path}")
+    for f in frames:
+        writer.write(cv2.cvtColor(f[:h2, :w2], cv2.COLOR_RGB2BGR))
+    writer.release()
+    return path

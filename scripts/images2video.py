@@ -21,19 +21,17 @@ def images_to_video(input_dir: str, output_path: str, fps: int = 12) -> str:
     import imageio.v3 as iio
     import numpy as np
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from motion324_tpu.io.video import write_video
+
     names = sorted((n for n in os.listdir(input_dir)
                     if n.lower().endswith((".png", ".jpg", ".jpeg"))),
                    key=natural_key)
     if not names:
         raise FileNotFoundError(f"no images in {input_dir}")
-    frames = [iio.imread(os.path.join(input_dir, n))[..., :3] for n in names]
-    h, w = frames[0].shape[:2]
-    # libx264 requires even dimensions
-    h2, w2 = h - h % 2, w - w % 2
-    frames = np.stack([f[:h2, :w2] for f in frames])
-    iio.imwrite(output_path, frames, fps=fps, codec="libx264",
-                plugin="pyav")
-    return output_path
+    frames = np.stack([iio.imread(os.path.join(input_dir, n))[..., :3]
+                       for n in names])
+    return write_video(output_path, frames, fps=fps)
 
 
 def main(argv=None):

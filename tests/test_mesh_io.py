@@ -115,3 +115,16 @@ def test_nearest_colors():
     cols = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
     out = nearest_colors(pts, cols, np.array([[0.1, 0, 0], [0.9, 0, 0]], np.float32))
     np.testing.assert_array_equal(out, [[1, 0, 0], [0, 1, 0]])
+
+
+def test_video_roundtrip(tmp_path):
+    from motion324_tpu.io.video import read_video, write_video
+    # structured frames (random noise is the lossy-codec worst case)
+    frames = np.zeros((5, 32, 32, 3), np.uint8)
+    for t in range(5):
+        frames[t, :, :, 0] = 40 * t
+        frames[t, 8:24, 8:24, 1] = 200
+    path = write_video(str(tmp_path / "v.mp4"), frames, fps=8)
+    back = read_video(path)
+    assert back.shape == (5, 32, 32, 3)
+    assert np.abs(back * 255 - frames).mean() < 15
