@@ -26,6 +26,8 @@ T, N_SHAPE, N_PTS, CHUNK = 32, 16384, 16384, 4096
 
 
 def main():
+    from motion324_tpu.utils.jit_cache import enable_compilation_cache
+    enable_compilation_cache()
     from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
 
     cfg = ModelConfig(dtype=jnp.bfloat16, frames=12)

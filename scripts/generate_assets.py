@@ -45,6 +45,9 @@ def main(argv=None):
     p.add_argument("--texture", action="store_true")
     args = p.parse_args(argv)
 
+    from motion324_tpu.utils.jit_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import numpy as np
     from PIL import Image
 

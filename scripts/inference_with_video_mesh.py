@@ -32,6 +32,9 @@ def main(argv=None):
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
+    from motion324_tpu.utils.jit_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -21,6 +21,8 @@ def main(argv=None):
 
     import jax
 
+    from motion324_tpu.utils.jit_cache import enable_compilation_cache
+    enable_compilation_cache()
     from motion324_tpu.config import load_config
     from motion324_tpu.data.dyscene import DysceneDataset, PrefetchLoader
     from motion324_tpu.parallel.mesh import make_mesh
