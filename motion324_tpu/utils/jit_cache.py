@@ -19,6 +19,11 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     env = os.environ.get("MOTION324_JIT_CACHE")
     if env == "0":
         return None
+    # the axon (tunneled-TPU) AOT compile service deadlocks with the
+    # persistent cache on large programs; only enable on direct backends
+    if "axon" in os.environ.get("JAX_PLATFORMS", "").lower() \
+            or os.environ.get("PALLAS_AXON_TPU_GEN"):
+        return None
     path = path or env or _DEFAULT
     os.makedirs(path, exist_ok=True)
     import jax
