@@ -7,4 +7,10 @@ from motion324_tpu.io.mesh import (  # noqa: F401
     sample_surface,
     sample_with_albedo,
 )
-from motion324_tpu.io.glb import load_glb, export_animated_glb, export_glb  # noqa: F401
+from motion324_tpu.io.glb import (  # noqa: F401
+    load_glb,
+    load_animated_glb,
+    export_animated_glb,
+    export_glb,
+)
+from motion324_tpu.io.video import read_video, write_video  # noqa: F401
