@@ -1,0 +1,86 @@
+"""Benchmark the dyscene training step on the local device(s).
+
+Reports per-step wall time and samples/s/chip at the dyscene recipe shapes
+(T=12, 4096 shape/pcd samples, bf16 + remat). Per-step timing reads the loss
+back to host each iteration, which forces completion even on tunneled-TPU
+backends where ``block_until_ready`` is a no-op.
+
+Usage: ``python scripts/bench_train.py [--batch 16] [--steps 5]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from motion324_tpu.config import load_config
+    from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
+    from motion324_tpu.parallel.mesh import batch_sharding, make_mesh
+    from motion324_tpu.training.optimizer import create_optimizer
+    from motion324_tpu.training.train_step import TrainState, build_train_step
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "dyscene.yaml"))
+    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=True)
+    model = MotionLatentModel(mcfg)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    b, t_frames, s, n = args.batch * n_dev, 12, 4096, 4096
+
+    r = np.random.RandomState(0)
+    f32 = lambda *shape: jnp.asarray(r.rand(*shape).astype(np.float32))
+    batch = {
+        "ref_shape_pcd": f32(b, s, 3), "ref_shape_normals": f32(b, s, 3),
+        "ref_shape_rgbs": f32(b, s, 3), "ref_pcd": f32(b, n, 3),
+        "ref_normal": f32(b, n, 3), "ref_rgb": f32(b, n, 3),
+        "rgb_video": f32(b, t_frames, 224, 224, 3),
+        "point_clouds": f32(b, t_frames, n, 3),
+    }
+
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    jax.tree.map(lambda a: a.block_until_ready(), params)
+    print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    tx, _ = create_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = build_train_step(model, tx, cfg, mesh)
+    batch_s = jax.device_put(batch, batch_sharding(mesh))
+
+    t0 = time.perf_counter()
+    state, m = step(state, batch_s, jax.random.PRNGKey(1))
+    print(f"first step (compile): {time.perf_counter() - t0:.1f}s "
+          f"loss={float(m['loss']):.4f}", flush=True)
+    # warm once more (donation-driven relayout can trigger one recompile)
+    state, m = step(state, batch_s, jax.random.PRNGKey(1))
+    float(m["loss"])
+
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        state, m = step(state, batch_s, jax.random.PRNGKey(1))
+        float(m["loss"])  # host readback = true synchronization
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(f"step time: median {med * 1000:.0f}ms over {args.steps} steps")
+    print(f"throughput: {b / med:.1f} samples/s "
+          f"({args.batch / med:.1f} samples/s/chip x {n_dev} devices)")
+
+
+if __name__ == "__main__":
+    main()
