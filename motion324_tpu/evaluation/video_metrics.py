@@ -46,13 +46,28 @@ def prepare_video(frames: np.ndarray, size: int = 512,
     return out.astype(np.float32)
 
 
-def split_subvideos(frames: np.ndarray, length: int = 32) -> list[np.ndarray]:
-    """Non-overlapping ``length``-frame subvideos (tail dropped if short,
-    unless it is the only one — reference evaluation.py:107-114)."""
+def split_subvideos(frames: np.ndarray, length: int = 32,
+                    verbose: bool = False) -> list[np.ndarray]:
+    """Non-overlapping ``length``-frame subvideos.
+
+    Protocol (reference evaluation.py:103-111): videos shorter than ``length``
+    are padded by reflecting trailing frames until they reach ``length``;
+    longer videos are cut into full ``length``-frame chunks and the tail
+    remainder (< ``length`` frames) is dropped, exactly as the reference does.
+    No resizing happens here — callers resize via :func:`prepare_video` first.
+    """
+    frames = np.asarray(frames)
     t = len(frames)
-    if t <= length:
-        return [prepare_video(frames, frames.shape[2], length)]
-    return [frames[i:i + length] for i in range(0, t - length + 1, length)]
+    while t < length:  # reflect-pad (repeat for very short clips)
+        pad = frames[-min(length - t, max(t - 1, 1)):][::-1]
+        frames = np.concatenate([frames, pad], axis=0)
+        t = len(frames)
+    n_full = t // length
+    dropped = t - n_full * length
+    if dropped and verbose:
+        print(f"split_subvideos: dropping {dropped} tail frame(s) "
+              f"(protocol keeps full {length}-frame chunks only)")
+    return [frames[i * length:(i + 1) * length] for i in range(n_full)]
 
 
 # --------------------------------------------------------------------------- #
@@ -163,38 +178,41 @@ class LPIPSVGG:
         self._scale = np.array([0.458, 0.448, 0.450], np.float32)
         if params is None:
             x = jnp.zeros((1, 64, 64, 3))
-            params = {"vgg": self._net.init(jax.random.PRNGKey(seed), x),
-                      "lins": None}
+            # jitted init: eager flax init dispatches thousands of tiny ops,
+            # which is pathological over a tunneled-TPU backend
+            init = jax.jit(self._net.init)
+            params = {"vgg": init(jax.random.PRNGKey(seed), x), "lins": None}
         self.params = params
+        net = self._net
+        has_lins = params.get("lins") is not None
 
         @jax.jit
-        def _feats(vgg_params, x):
-            return self._net.apply(vgg_params, x)
+        def _dist(vgg_params, lins, x1, x2):
+            # full distance on device: shipping the raw feature maps to host
+            # (~256 MB/frame at 512^2) is pathological over a TPU tunnel
+            d = jnp.float32(0.0)
+            for i, (a, b) in enumerate(zip(net.apply(vgg_params, x1),
+                                           net.apply(vgg_params, x2))):
+                a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
+                b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
+                diff = (a - b) ** 2
+                if has_lins:
+                    w = jnp.maximum(lins[i], 0.0)  # lpips lin weights >= 0
+                    d += (diff * w[None, None, None, :]).sum(-1).mean()
+                else:
+                    d += diff.mean(-1).mean()
+            return d
 
-        self._feats = _feats
+        self._dist = _dist
+        self._jnp = jnp
 
     def __call__(self, img1: np.ndarray, img2: np.ndarray) -> float:
         """images (H, W, 3) in [0, 1] -> scalar LPIPS distance."""
-        import jax.numpy as jnp
-        d = 0.0
+        jnp = self._jnp
         x1 = (np.asarray(img1, np.float32) * 2 - 1 - self._shift) / self._scale
         x2 = (np.asarray(img2, np.float32) * 2 - 1 - self._shift) / self._scale
-        f1 = self._feats(self.params["vgg"], jnp.asarray(x1)[None])
-        f2 = self._feats(self.params["vgg"], jnp.asarray(x2)[None])
-        lins = self.params.get("lins")
-        for i, (a, b) in enumerate(zip(f1, f2)):
-            a = np.asarray(a, np.float32)
-            b = np.asarray(b, np.float32)
-            a = a / (np.linalg.norm(a, axis=-1, keepdims=True) + 1e-10)
-            b = b / (np.linalg.norm(b, axis=-1, keepdims=True) + 1e-10)
-            diff = (a - b) ** 2
-            if lins is not None:
-                w = np.maximum(lins[i], 0.0)  # lpips lin weights are >= 0
-                diff = diff * w[None, None, None, :]
-                d += float(diff.sum(-1).mean())
-            else:
-                d += float(diff.mean(-1).mean())
-        return d
+        return float(self._dist(self.params["vgg"], self.params.get("lins"),
+                                jnp.asarray(x1)[None], jnp.asarray(x2)[None]))
 
 
 def lpips_distance(video1: np.ndarray, video2: np.ndarray,

@@ -6,9 +6,10 @@ pymeshlab dependency:
 
 - :func:`remove_floaters`     — keep the largest connected component (:133);
 - :func:`remove_degenerate`   — drop zero-area / repeated-index faces (:145);
-- :func:`reduce_faces`        — decimate to a target face budget (:120).
-  Round-1 implementation is grid vertex clustering (uniform quadric-free
-  simplification); QEM decimation is the planned upgrade.
+- :func:`reduce_faces`        — decimate to a target face budget (:120) via
+  quadric-error-metric edge collapse (C++, :mod:`motion324_tpu.native`),
+  matching the reference's pymeshlab quadric decimation; grid vertex
+  clustering remains as the dependency-free fallback.
 """
 
 from __future__ import annotations
@@ -65,14 +66,27 @@ def remove_degenerate(mesh: TriMesh, eps: float = 0.0) -> TriMesh:
     return TriMesh(vertices=v, faces=fc)
 
 
-def reduce_faces(mesh: TriMesh, max_facenum: int = 40000) -> TriMesh:
-    """Simplify to <= ``max_facenum`` faces by uniform-grid vertex clustering.
+def reduce_faces(mesh: TriMesh, max_facenum: int = 40000,
+                 method: str = "qem") -> TriMesh:
+    """Simplify to <= ``max_facenum`` faces.
 
-    Cell size is chosen by bisection so the output face count lands under the
-    budget. Collapsed faces (two corners in one cell) are dropped.
+    ``method='qem'`` (default) runs quadric-error-metric edge collapse in C++
+    — silhouette-preserving, like the reference's pymeshlab FaceReducer
+    (reference postprocessors.py:120-131). ``method='cluster'`` (and the
+    fallback when the native library is unavailable) uses uniform-grid vertex
+    clustering with bisected cell size.
     """
     if len(mesh.faces) <= max_facenum:
         return mesh
+    if method == "qem":
+        try:
+            from motion324_tpu import native
+            v, f = native.qem_simplify(mesh.vertices, mesh.faces, max_facenum)
+            if len(f) <= max_facenum and len(f) > 0:
+                v2, f2 = _compact(v, f)
+                return TriMesh(vertices=v2, faces=f2)
+        except RuntimeError:
+            pass  # fall through to clustering
     v = mesh.vertices
     lo, hi = v.min(0), v.max(0)
     span = float(np.max(hi - lo)) + 1e-9

@@ -154,14 +154,28 @@ class MotionPipeline:
     # ------------------------------------------------------------------ #
     def run(self, mesh_path: str, video_path: str, output_dir: str,
             num_shape_samples: int = 16384, smooth: bool = True,
-            fps: int = 12, max_frames: int | None = None) -> str:
-        """The `4D_from_existing` product path: mesh + video -> animated GLB."""
+            fps: int = 12, max_frames: int | None = None,
+            use_segmentation: bool = True,
+            segmentation_params=None) -> str:
+        """The `4D_from_existing` product path: mesh + video -> animated GLB.
+
+        ``use_segmentation`` masks the video to a black background before the
+        model, as the reference does by default in this path (reference:
+        scripts/inference_with_video_mesh.py:357-358, 4D_from_existing.sh:62);
+        ``segmentation_params`` selects converted U2Net weights, else the
+        border-statistics fallback segments.
+        """
         os.makedirs(output_dir, exist_ok=True)
         t0 = time.perf_counter()
         mesh = load_mesh(mesh_path)
         inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
         video = load_video(video_path, max_frames)
-        log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}")
+        if use_segmentation:
+            from motion324_tpu.inference.segmentation import segment_frames
+            mask = segment_frames(video, params=segmentation_params)
+            video = video * mask[..., None]
+        log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
+            f"{' (segmented)' if use_segmentation else ''}")
 
         trajs = self.predict(inputs, video)
         if smooth:

@@ -16,11 +16,12 @@ import subprocess
 import numpy as np
 
 __all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
-           "marching_cubes"]
+           "marching_cubes", "qem_simplify"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
-_SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp"]
+_SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp", "qem_simplify.cpp",
+            "grid_hierarchy.cpp"]
 _lib = None
 _build_failed = False
 
@@ -53,7 +54,47 @@ def _get_lib():
     _lib = ctypes.CDLL(path)
     _lib.vertex_inpaint.restype = ctypes.c_int
     _lib.marching_tetrahedra.restype = ctypes.c_int
+    _lib.qem_simplify.restype = ctypes.c_int
+    if hasattr(_lib, "build_hierarchy"):
+        _lib.build_hierarchy.restype = ctypes.c_int
     return _lib
+
+
+def qem_simplify(vertices: np.ndarray, faces: np.ndarray,
+                 target_faces: int, aggressiveness: float = 7.0):
+    """Quadric-error-metric decimation (C++).
+
+    Garland-Heckbert edge collapse with boundary locking and flip rejection —
+    the TPU-era equivalent of the reference's pymeshlab quadric FaceReducer
+    (reference: scripts/hy3dgen/shapegen/postprocessors.py:120-131).
+
+    Args:
+      vertices: (V, 3) float32.
+      faces: (F, 3) int32.
+      target_faces: face budget; output has <= max(target, reachable) faces.
+      aggressiveness: threshold growth exponent (higher = faster, coarser).
+
+    Returns:
+      (vertices (V', 3) float32, faces (F', 3) int32).
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ build failed)")
+    vertices = np.ascontiguousarray(vertices, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    nv, nf = len(vertices), len(faces)
+    out_v = np.empty_like(vertices)
+    out_f = np.empty_like(faces)
+    onv = ctypes.c_int(0)
+    onf = ctypes.c_int(0)
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    ret = lib.qem_simplify(p(vertices), nv, p(faces), nf,
+                           int(target_faces), ctypes.c_float(aggressiveness),
+                           p(out_v), ctypes.byref(onv),
+                           p(out_f), ctypes.byref(onf))
+    if ret != 0:
+        raise RuntimeError(f"qem_simplify failed with code {ret}")
+    return out_v[:onv.value].copy(), out_f[:onf.value].copy()
 
 
 def marching_cubes(grid: np.ndarray, iso: float = 0.0,

@@ -29,8 +29,11 @@ _CKPT_RE = re.compile(r"^ckpt_(\d{16})$")
 
 
 def save_checkpoint(ckpt_dir: str, state, *, async_save: bool = False) -> str:
-    """Write ``state`` (TrainState or any pytree) to ``ckpt_dir/ckpt_{step}``."""
-    step = int(state.step)
+    """Write ``state`` (TrainState or any pytree) to ``ckpt_dir/ckpt_{step}``.
+
+    Named by ``update_step`` (applied parameter updates) when present, matching
+    the reference's ``ckpt_{param_update_step:016d}.pt`` (train.py:254-269)."""
+    step = int(getattr(state, "update_step", state.step))
     path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_{step:016d}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)

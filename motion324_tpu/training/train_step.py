@@ -34,7 +34,13 @@ __all__ = ["TrainState", "build_train_step"]
 
 
 class TrainState(struct.PyTreeNode):
+    """``step`` counts forward/backward passes (advances every iteration);
+    ``update_step`` counts applied parameter updates only (frozen on NaN/spike
+    skips) — the reference tracks both separately as ``fwdbwd_pass_step`` /
+    ``param_update_step`` (reference: train.py:254-269)."""
+
     step: jax.Array
+    update_step: jax.Array
     params: Any
     opt_state: Any
 
@@ -42,7 +48,8 @@ class TrainState(struct.PyTreeNode):
     def create(cls, params, tx):
         """``params`` is the full flax variable dict (``{'params': ...}``);
         optimizer state mirrors that tree so grads line up 1:1."""
-        return cls(step=jnp.zeros((), jnp.int32), params=params,
+        return cls(step=jnp.zeros((), jnp.int32),
+                   update_step=jnp.zeros((), jnp.int32), params=params,
                    opt_state=tx.init(params))
 
 
@@ -115,6 +122,7 @@ def build_train_step(model, tx, cfg, mesh,
 
         new_state = state.replace(
             step=state.step + 1,
+            update_step=state.update_step + ok.astype(jnp.int32),
             params=_tree_select(ok, new_params, state.params),
             opt_state=_tree_select(ok, new_opt, state.opt_state),
         )

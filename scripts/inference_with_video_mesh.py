@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--config", default="configs/dyscene.yaml")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-smooth", action="store_true")
+    parser.add_argument("--no-segmentation", action="store_true",
+                        help="skip foreground masking (reference default is "
+                             "use_segmentation=True, 4D_from_existing.sh:62)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -75,7 +78,8 @@ def main(argv=None):
     out = pipeline.run(args.mesh, args.video, args.output,
                        num_shape_samples=int(cfg.training.get(
                            "num_shape_samples", 16384)),
-                       smooth=not args.no_smooth, max_frames=args.max_frames)
+                       smooth=not args.no_smooth, max_frames=args.max_frames,
+                       use_segmentation=not args.no_segmentation)
     log(f"done: {out}")
 
 

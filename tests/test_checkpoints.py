@@ -21,7 +21,8 @@ def _tiny_state(step=0):
                          "image_encoder": {"w": jnp.zeros((2, 2))}}}
     tx, _ = create_optimizer(cfg)
     state = TrainState.create(params, tx)
-    return state.replace(step=jnp.asarray(step, jnp.int32)), tx
+    return state.replace(step=jnp.asarray(step, jnp.int32),
+                         update_step=jnp.asarray(step, jnp.int32)), tx
 
 
 def test_save_and_resume_roundtrip(tmp_path):

@@ -78,12 +78,16 @@ def test_nan_batch_skipped(setup):
     bad["rgb_video"] = batch["rgb_video"].at[0].set(jnp.nan)
     bad = jax.device_put(bad, sharding)
     step_before = int(state.step)
+    update_before = int(state.update_step)
     params_before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
     state2, metrics = step_fn(state, bad, jax.random.PRNGKey(0))
     assert float(metrics["skipped"]) == 1.0
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state2.params)[0]),
                                   params_before)
-    assert int(state2.step) == step_before + 1  # step counter still advances
+    assert int(state2.step) == step_before + 1  # fwdbwd counter still advances
+    # but the applied-update counter freezes (reference fwdbwd_pass_step vs
+    # param_update_step, train.py:254-269)
+    assert int(state2.update_step) == update_before
 
 
 def test_grad_clipping_and_norm_reported(setup):
