@@ -74,15 +74,54 @@ class MeshRenderer:
         return rasterize(pos, self.mesh.faces, self.texture_size,
                          self.texture_size, interpret=self.interpret)
 
+    def reliability_mask(self, view: dict, angle_thres_deg: float = 75.0
+                         ) -> np.ndarray:
+        """Image-space mask of pixels reliable for texture back-projection.
+
+        Reproduces the reference's bake reliability treatment
+        (mesh_render.py:707-737): the visible mask is SHRUNK (eroded) by
+        ``bake_unreliable_kernel_size`` to drop silhouette pixels, pixels near
+        DEPTH EDGES (Canny on the normalised depth, dilated by the same
+        kernel) are rejected, and grazing-angle pixels (normal vs view beyond
+        ``angle_thres_deg``, reference default 75 at :138) are zeroed.
+        """
+        import cv2
+        mask = view["mask"].astype(np.uint8)
+        depth = view["depth"]
+        # kernel scaled to resolution as in the reference (:139-140)
+        k = max(int((2 / 512) * self.resolution), 1) * 2 + 1
+        kernel = np.ones((k, k), np.uint8)
+
+        shrunk = cv2.erode(mask, kernel) > 0
+
+        vis = mask > 0
+        if vis.any():
+            dmin, dmax = depth[vis].min(), depth[vis].max()
+            dn = (depth - dmin) / max(dmax - dmin, 1e-8) * vis
+            edges = cv2.Canny((dn * 255).astype(np.uint8), 30, 80)
+            edges = cv2.dilate(edges, kernel) > 0
+        else:
+            edges = np.zeros_like(vis)
+
+        # grazing angle: normal is world-space; compare against the view dir
+        cosang = view.get("view_cos")
+        if cosang is None:
+            cosang = np.abs(view["normal"][..., 2])
+        ok_angle = cosang >= np.cos(np.deg2rad(angle_thres_deg))
+        return shrunk & ~edges & ok_angle
+
     def back_project(self, view_image: np.ndarray, elev: float, azim: float,
-                     uv_find=None, uv_bary=None, cos_power: float = 4.0):
+                     uv_find=None, uv_bary=None, cos_power: float = 4.0,
+                     angle_thres_deg: float = 75.0):
         """Project a rendered/generated view image into UV texture space.
 
         For every texel covered by the atlas, its 3D surface point is
         projected into the view; the image color there is sampled bilinearly
         and weighted by ``cos^power`` of the angle between the surface normal
-        and the view direction (reference mesh_render.py:653-757 visibility
-        weighting). Returns ``(texture (S,S,3), weight (S,S,1))``.
+        and the view direction, gated by a per-pixel reliability mask
+        (visibility shrink + depth-edge rejection + grazing-angle threshold —
+        reference mesh_render.py:653-757). Returns
+        ``(texture (S,S,3), weight (S,S,1))``.
         """
         if uv_find is None or uv_bary is None:
             uv_find, uv_bary = self.rasterize_uv()
@@ -105,17 +144,30 @@ class MeshRenderer:
 
         # visibility: z-test against the view depth buffer
         view = self.render_view(elev, azim)
+        cam_dir = -(np.linalg.inv(mv[:3, :3]) @ np.array([0, 0, -1.0]))
+        view["view_cos"] = np.clip(
+            view["normal"] @ cam_dir.astype(np.float32), 0, 1)
         depth_img = view["depth"]
         z_tex = (clip[:, 2] / clip[:, 3]).reshape(self.texture_size,
                                                   self.texture_size)
         z_ref = _bilinear(depth_img[..., None], px, py)[:, 0].reshape(
             self.texture_size, self.texture_size)
-        visible = np.abs(z_tex - z_ref) < 1e-2
+        vis = view["mask"]
+        z_tol = 2e-3 * (float(depth_img[vis].max() - depth_img[vis].min())
+                        if vis.any() else 1.0) + 1e-4
+        visible = np.abs(z_tex - z_ref) < max(z_tol, 1e-3)
 
-        cam_dir = -(np.linalg.inv(mv[:3, :3]) @ np.array([0, 0, -1.0]))
+        # reliability gate, sampled conservatively (all 4 bilinear neighbours
+        # must be reliable — the gather-side equivalent of the reference's
+        # image-space mask shrink before scatter)
+        rel = self.reliability_mask(view, angle_thres_deg).astype(np.float32)
+        rel_tex = _bilinear(rel[..., None], px, py)[:, 0].reshape(
+            self.texture_size, self.texture_size)
+        reliable = rel_tex > 0.999
+
         cosang = np.asarray(texel_nrm) @ cam_dir.astype(np.float32)
         weight = np.clip(cosang, 0, 1) ** cos_power
-        weight = weight * covered * visible
+        weight = weight * covered * visible * reliable
         return np.asarray(color) * weight[..., None], weight[..., None]
 
     def bake(self, view_images, views, cos_power: float = 4.0,

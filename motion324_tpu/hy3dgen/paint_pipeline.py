@@ -55,17 +55,42 @@ def reprojection_texturizer(cond_image: np.ndarray, views,
 
 
 class PaintPipeline:
+    """mesh + image -> textured mesh.
+
+    The DEFAULT view synthesizer is the multiview diffusion pipeline
+    (:class:`motion324_tpu.hy3dgen.paint_diffusion.MultiviewDiffusion`, the
+    HunyuanPaint equivalent — reference texgen/pipelines.py:188-237) whenever
+    ``multiview_params`` (converted weights) are supplied; without weights the
+    pipeline falls back to the weight-free reprojection synthesizer so it
+    stays runnable end-to-end, with a logged warning.
+
+    ``delight=True`` runs shadow/highlight removal on the conditioning image
+    before synthesis, as the reference does (dehighlight_utils.py:22-110).
+    """
+
     def __init__(self, multiview_model: Callable | None = None,
+                 multiview_params: dict | None = None,
                  resolution: int = 512, texture_size: int = 1024,
-                 interpret: bool = False):
-        self.multiview_model = multiview_model or reprojection_texturizer
+                 delight: bool = True, interpret: bool = False):
+        if multiview_model is None and multiview_params is not None:
+            from motion324_tpu.hy3dgen.paint_diffusion import MultiviewDiffusion
+            multiview_model = MultiviewDiffusion(multiview_params)
+        if multiview_model is None:
+            log("PaintPipeline: no multiview diffusion weights — using the "
+                "weight-free reprojection synthesizer")
+            multiview_model = reprojection_texturizer
+        self.multiview_model = multiview_model
         self.resolution = resolution
         self.texture_size = texture_size
+        self.delight = delight
         self.interpret = interpret
 
     def __call__(self, mesh: TriMesh, image: np.ndarray,
                  views=None) -> TriMesh:
         views = views if views is not None else DEFAULT_VIEWS
+        if self.delight:
+            from motion324_tpu.hy3dgen.delight import delight_image
+            image = delight_image(np.asarray(image, np.float32))
         unwrapped, vmapping = unwrap_uv(mesh, self.texture_size)
         renderer = MeshRenderer(unwrapped, resolution=self.resolution,
                                 texture_size=self.texture_size,
@@ -78,7 +103,9 @@ class PaintPipeline:
         texture, covered = renderer.bake(view_images, views)
 
         # seam inpaint: diffuse colors over the mesh graph (native C++), then
-        # fill any remaining holes from the valid-texel average
+        # Navier-Stokes image inpaint for the remaining holes — the same
+        # two-stage treatment as the reference's uv_inpaint
+        # (mesh_render.py:800-823: meshVerticeInpaint + cv2.INPAINT_NS)
         mask = (covered * 255).astype(np.uint8)
         texture, mask = vertex_inpaint(
             texture.astype(np.float32), mask,
@@ -88,7 +115,11 @@ class PaintPipeline:
             unwrapped.faces.astype(np.int32))
         hole = mask == 0
         if hole.any() and (~hole).any():
-            texture[hole] = texture[~hole].mean(axis=0)
+            import cv2
+            tex_u8 = (np.clip(texture, 0, 1) * 255).astype(np.uint8)
+            tex_u8 = cv2.inpaint(tex_u8, (255 - mask).astype(np.uint8), 3,
+                                 cv2.INPAINT_NS)
+            texture = tex_u8.astype(np.float32) / 255.0
 
         log(f"texture baked: {self.texture_size}^2, "
             f"{(~hole).mean() * 100:.0f}% covered")

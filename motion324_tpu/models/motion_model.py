@@ -56,6 +56,12 @@ class ModelConfig:
     image_size: int = 224
     patch_size: int = 14
     frames: int = 12           # trained window; pos-embed native T
+    decode_frames_chunk: int = 1  # frames decoded per scan step (folded into
+                                  # the batch axis; divides T or falls back to
+                                  # 1). >1 trades HBM for fewer scan steps —
+                                  # the cross-block MLP hidden is
+                                  # (chunk*B, N, 4C), 3 GB at chunk 4/batch 32,
+                                  # which OOMs the dyscene recipe; keep 1 there.
     point_hidden: int = 48     # PointEmbed basis width
     dino_depth: int = 12       # DINOv2 ViT-B/14 depth (embed dim == feat_dim,
     dino_heads: int = 12       # no projection layer — reference relies on 768==768)
@@ -75,6 +81,7 @@ class ModelConfig:
             use_qk_norm=m.use_qk_norm, drop_rate=m.get("drop_rate", 0.1),
             image_size=m.get("image_size", 224), patch_size=m.get("patch_size", 14),
             frames=cfg.training.frames, dtype=dt,
+            decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 2)),
             remat=cfg.training.get("remat", False) if remat is None else remat,
             attn_backend=attn_backend,
         )
@@ -279,8 +286,21 @@ class MotionLatentModel(nn.Module):
         b, t, _, d = pcd_tokens.shape
         n = pcd.shape[1]
         feats = self._point_features(pcd, normals, rgbs)  # (B, N, C)
-        tokens_t = pcd_tokens.transpose(1, 0, 2, 3)  # (T, B, K, C)
-        _, outs = self.point_decoder(feats, tokens_t)  # (T, B, N, 3)
+        # Fold `chunk` frames into the batch axis per scan step: fewer, larger
+        # device ops (a 12-step scan of per-frame work is overhead-bound).
+        chunk = self.cfg.decode_frames_chunk
+        if chunk > 1 and t % chunk == 0 and t > chunk:
+            k = pcd_tokens.shape[2]
+            # (B, T, K, C) -> (T/c, c*B, K, C), frame-major within each step
+            tokens_t = pcd_tokens.transpose(1, 0, 2, 3).reshape(
+                t // chunk, chunk * b, k, d)
+            feats_rep = jnp.broadcast_to(
+                feats[None], (chunk, b, n, d)).reshape(chunk * b, n, d)
+            _, outs = self.point_decoder(feats_rep, tokens_t)
+            outs = outs.reshape(t // chunk, chunk, b, n, 3).reshape(t, b, n, 3)
+        else:
+            tokens_t = pcd_tokens.transpose(1, 0, 2, 3)  # (T, B, K, C)
+            _, outs = self.point_decoder(feats, tokens_t)  # (T, B, N, 3)
         return outs.transpose(1, 0, 2, 3).astype(jnp.float32)
 
     def __call__(self, sample, train: bool = False):

@@ -16,7 +16,7 @@ import subprocess
 import numpy as np
 
 __all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
-           "marching_cubes", "qem_simplify"]
+           "marching_cubes", "qem_simplify", "build_hierarchy"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
@@ -58,6 +58,82 @@ def _get_lib():
     if hasattr(_lib, "build_hierarchy"):
         _lib.build_hierarchy.restype = ctypes.c_int
     return _lib
+
+
+def build_hierarchy(view_positions, view_normals, num_level: int = 3,
+                    resolution: int = 256):
+    """Sparse voxel hierarchy from 3 orthographic layered position maps (C++).
+
+    Capability equivalent of the reference's ``build_hierarchy`` extension
+    (reference: .../custom_rasterizer_kernel/grid_neighbor.cpp:311-433), the
+    voxel backbone of FlashVDM texgen turbo attention.
+
+    Args:
+      view_positions: list of 3 arrays ``(L, H, W, 4)`` float32 — xyz + a
+        validity flag in the w channel (0 = empty pixel).
+      view_normals: list of 3 arrays ``(L, H, W, 3)`` float32.
+      num_level: hierarchy depth.
+      resolution: voxel grid resolution at the finest level.
+
+    Returns dict with:
+      ``positions`` (N0, 3) float32 level-0 voxel centres (original + padded),
+      ``origin_mask`` (N0,) float32 (1 = seen in views, 0 = corner padding),
+      ``neighbors`` list of (Nl, 9) int64 per level (-1 absent),
+      ``downsample`` list of (Nl,) int64 parent maps for levels < last,
+      ``even_corners`` / ``odd_corners`` lists of (Nl,) int64 flags.
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable (g++ build failed)")
+    vp = [np.ascontiguousarray(p, np.float32) for p in view_positions]
+    vn = [np.ascontiguousarray(n, np.float32) for n in view_normals]
+    if len(vp) != 3 or len(vn) != 3:
+        raise ValueError("exactly 3 views required")
+    h, w = vp[0].shape[1], vp[0].shape[2]
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+
+    cap_pos = 1 << 18
+    for _ in range(8):
+        cap_nb = cap_pos * 2 * 9
+        positions = np.empty((cap_pos, 3), np.float32)
+        origin = np.empty(cap_pos, np.float32)
+        neighbors = np.empty(cap_nb, np.int64)
+        level_sizes = np.zeros(num_level, np.int32)
+        downsample = np.empty(cap_pos * 2, np.int64)
+        even = np.empty(cap_nb // 9, np.int64)
+        odd = np.empty(cap_nb // 9, np.int64)
+        n_pos = ctypes.c_int(0)
+        ret = lib.build_hierarchy(
+            p(vp[0]), vp[0].shape[0], p(vn[0]),
+            p(vp[1]), vp[1].shape[0], p(vn[1]),
+            p(vp[2]), vp[2].shape[0], p(vn[2]),
+            h, w, num_level, resolution,
+            p(positions), cap_pos, ctypes.byref(n_pos), p(origin),
+            p(neighbors), cap_nb, p(level_sizes),
+            p(downsample), cap_pos * 2, p(even), p(odd))
+        if ret == 0:
+            sizes = level_sizes.tolist()
+            nb, ev, od, ds = [], [], [], []
+            off = 0
+            for li, n in enumerate(sizes):
+                nb.append(neighbors[off * 9:(off + n) * 9].reshape(n, 9).copy())
+                ev.append(even[off:off + n].copy())
+                od.append(odd[off:off + n].copy())
+                off += n
+            off = 0
+            for n in sizes[:-1]:
+                ds.append(downsample[off:off + n].copy())
+                off += n
+            return {"positions": positions[:n_pos.value].copy(),
+                    "origin_mask": origin[:n_pos.value].copy(),
+                    "neighbors": nb, "downsample": ds,
+                    "even_corners": ev, "odd_corners": od,
+                    "level_sizes": sizes}
+        if ret in (3, 4, 5):
+            cap_pos *= 2
+            continue
+        raise RuntimeError(f"build_hierarchy failed with code {ret}")
+    raise RuntimeError("build_hierarchy: capacity negotiation failed")
 
 
 def qem_simplify(vertices: np.ndarray, faces: np.ndarray,

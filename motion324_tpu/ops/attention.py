@@ -16,12 +16,20 @@ import jax
 import jax.numpy as jnp
 
 from motion324_tpu.ops.flash_attention import flash_attention
+from motion324_tpu.ops.short_attention import short_attention
 
 __all__ = ["multi_head_attention", "mha_reference"]
 
-# Below this KV length a single fused XLA softmax-matmul chain is at least as
-# fast as a flash schedule and numerically identical.
+# KV length routing on TPU:
+#   >= _FLASH_MIN_KV          -> streaming flash kernel (online softmax)
+#   [_SHORT_MIN_KV, flash)    -> short-sequence kernel (KV resident in VMEM,
+#                                fused one-pass backward); XLA attention here
+#                                materialises (BH, S, S) f32 logits in HBM
+#   < _SHORT_MIN_KV           -> plain XLA (tiny-KV cross attention: a kernel
+#                                schedule only adds overhead)
 _FLASH_MIN_KV = 1024
+_SHORT_MIN_KV = 128
+_SHORT_MIN_Q = 128
 
 
 def mha_reference(q, k, v, *, scale: float | None = None):
@@ -60,14 +68,25 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
 
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
-        backend = "flash" if (on_tpu and k.shape[1] >= _FLASH_MIN_KV) else "xla"
+        if not on_tpu:
+            backend = "xla"
+        elif k.shape[1] >= _FLASH_MIN_KV:
+            backend = "flash"
+        elif k.shape[1] >= _SHORT_MIN_KV and q.shape[1] >= _SHORT_MIN_Q:
+            backend = "short"
+        else:
+            backend = "xla"
 
     if backend == "xla":
         out = mha_reference(qt, kt, vt, scale=scale)
     elif backend == "flash":
         out = flash_attention(qt, kt, vt, scale=scale)
+    elif backend == "short":
+        out = short_attention(qt, kt, vt, scale=scale)
     elif backend == "interpret":
         out = flash_attention(qt, kt, vt, scale=scale, interpret=True)
+    elif backend == "short_interpret":
+        out = short_attention(qt, kt, vt, scale=scale, interpret=True)
     else:
         raise ValueError(f"unknown attention backend {backend!r}")
     return out.transpose(0, 2, 1, 3)

@@ -40,8 +40,21 @@ def _ceil_to(x: int, m: int) -> int:
 # --------------------------------------------------------------------------- #
 # Forward
 # --------------------------------------------------------------------------- #
+def _mask_tail(s, ikv, kv_len: int, block_kv: int, nkv: int):
+    """Mask padded KV columns with NEG_INF.
+
+    Emitted only when padding exists (static check). The mask is applied
+    unconditionally per block — branching on the block index with ``lax.cond``
+    measured ~1.5x SLOWER than the straight-line iota/compare/select (Mosaic
+    pipelines predicated straight-line code far better than control flow)."""
+    if kv_len % block_kv == 0:
+        return s  # no padded columns anywhere: no masking code at all
+    col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col < kv_len, s, NEG_INF)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
-                scale: float, kv_len: int, block_kv: int, with_lse: bool):
+                kv_len: int, block_kv: int, with_lse: bool):
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -55,15 +68,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (bq, D)
+    q = q_ref[0]  # (bq, D), pre-scaled by the wrapper (scale folded into q)
     k = k_ref[0]  # (bkv, D)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, bkv)
-
-    col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+    )  # (bq, bkv)
+    s = _mask_tail(s, ikv, kv_len, block_kv, nkv)
 
     m_prev = m_scr[:, 0]
     l_prev = l_scr[:, 0]
@@ -92,12 +103,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
-def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
+def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
          interpret: bool, with_lse: bool):
     bh, sq, d = q.shape
     skv = k.shape[1]
     grid = (bh, sq // block_q, skv // block_kv)
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+    kernel = functools.partial(_fwd_kernel, kv_len=kv_len,
                                block_kv=block_kv, with_lse=with_lse)
     out_specs = [pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0))]
     out_shape = [jax.ShapeDtypeStruct((bh, sq, d), q.dtype)]
@@ -132,7 +143,9 @@ def _fwd(q, k, v, scale: float, kv_len: int, block_q: int, block_kv: int,
 # Backward
 # --------------------------------------------------------------------------- #
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
-                   dq_scr, *, scale: float, kv_len: int, block_kv: int):
+                   dq_scr, *, kv_len: int, block_kv: int):
+    # q is pre-scaled; returned dq is the gradient w.r.t. the SCALED q (the
+    # wrapper's q*scale multiply back-propagates the scale factor exactly).
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -142,15 +155,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+                            preferred_element_type=jnp.float32)
+    s = _mask_tail(s, ikv, kv_len, block_kv, nkv)
     p = jnp.exp(s - lse_ref[0][:, :1])
     delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
                     axis=-1, keepdims=True)  # (bq, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -162,7 +174,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale: float, kv_len: int, block_kv: int):
+                    *, kv_len: int, block_kv: int):
+    # q is pre-scaled, so dk = ds^T @ q_scaled carries the scale factor exactly
+    # (s = q_scaled @ k^T => ds/dk = q_scaled).
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -173,9 +187,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
     q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale  # (bq,bkv)
-    col = pl.program_id(1) * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
+                            preferred_element_type=jnp.float32)  # (bq,bkv)
+    s = _mask_tail(s, pl.program_id(1), kv_len, block_kv, pl.num_programs(1))
     p = jnp.exp(s - lse_ref[0][:, :1])  # zero dO rows null padded-q contributions
     pb = p.astype(do.dtype)
     dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
@@ -184,7 +197,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                     axis=-1, keepdims=True)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
@@ -194,9 +207,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
+def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
+    # the backward kernels hold s/p/dp/ds tiles at once: 1024-blocks exceed
+    # comfortable VMEM and regress (measured dq 366->460ms); cap at 512
+    block_q = min(block_q, 512)
+    block_kv = min(block_kv, 512)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
@@ -205,7 +222,7 @@ def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
     lse_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ikv: (b, iq, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+        functools.partial(_bwd_dq_kernel, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, sq // block_q, skv // block_kv),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
@@ -221,7 +238,7 @@ def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
     kv_spec2 = pl.BlockSpec((1, block_kv, d), lambda b, ikv, iq: (b, ikv, 0))
     lse_spec2 = pl.BlockSpec((1, block_q, _LANES), lambda b, ikv, iq: (b, iq, 0))
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+        functools.partial(_bwd_dkv_kernel, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, skv // block_kv, sq // block_q),
         in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, lse_spec2],
@@ -243,37 +260,49 @@ def _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret):
 # --------------------------------------------------------------------------- #
 # custom-vjp core over padded shapes
 # --------------------------------------------------------------------------- #
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_core(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    o, _ = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, kv_len, block_q, block_kv, interpret):
+    o, _ = _fwd(q, k, v, kv_len, block_q, block_kv, interpret,
                 with_lse=False)
     return o
 
 
-def _flash_core_fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret):
-    o, lse = _fwd(q, k, v, scale, kv_len, block_q, block_kv, interpret,
+def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
+    o, lse = _fwd(q, k, v, kv_len, block_q, block_kv, interpret,
                   with_lse=True)
     return o, (q, k, v, o, lse)
 
 
-def _flash_core_bwd(scale, kv_len, block_q, block_kv, interpret, res, do):
+def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):
     q, k, v, o, lse = res
-    return _bwd(q, k, v, o, lse, do, scale, kv_len, block_q, block_kv, interpret)
+    return _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def _pick_block(seq: int, target: int) -> int:
-    """Largest power-of-two block <= target that is >= min tile and <= padded seq."""
-    b = target
-    while b > 128 and b > seq:
-        b //= 2
-    return max(b, 128)
+    """Block size minimising padding for short sequences, ``target`` for long.
+
+    For seq >= target the target block wins (big MXU tiles, negligible
+    padding). Below that, pick the power-of-two block (>= 128) whose padded
+    length is smallest — e.g. seq 324 pads to 384 with blocks of 128 instead
+    of 512 with blocks of 256 (2.5x less wasted work).
+    """
+    if seq >= target:
+        return target
+    best = 128
+    best_pad = _ceil_to(seq, 128)
+    b = 256
+    while b <= target:
+        if _ceil_to(seq, b) <= best_pad:
+            best, best_pad = b, _ceil_to(seq, b)
+        b *= 2
+    return best
 
 
 def flash_attention(q, k, v, *, scale: float | None = None,
-                    block_q: int = 512, block_kv: int = 512,
+                    block_q: int = 1024, block_kv: int = 1024,
                     interpret: bool = False):
     """Exact multi-head attention via Pallas flash kernels.
 
@@ -297,7 +326,10 @@ def flash_attention(q, k, v, *, scale: float | None = None,
     sq_p = _ceil_to(sq, bq)
     sk_p = _ceil_to(sk, bkv)
 
-    qf = q.reshape(b * h, sq, d)
+    # Fold the logit scale into q OUTSIDE the kernels: one pass over (S, D)
+    # here instead of a multiply over every (Sq, Sk) logit in all four
+    # kernels. Gradients stay exact (this multiply's vjp rescales dq).
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(b * h, sq, d)
     kf = k.reshape(b * h, sk, d)
     vf = v.reshape(b * h, sk, d)
     if sq_p != sq:
@@ -306,5 +338,5 @@ def flash_attention(q, k, v, *, scale: float | None = None,
         kf = jnp.pad(kf, ((0, 0), (0, sk_p - sk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, sk_p - sk), (0, 0)))
 
-    o = _flash_core(qf, kf, vf, scale, sk, bq, bkv, interpret)
+    o = _flash_core(qf, kf, vf, sk, bq, bkv, interpret)
     return o[:, :sq].reshape(b, h, sq, d)

@@ -22,6 +22,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--decode-chunk", type=int, default=1,
+                   help="frames per point-decoder scan step (HBM permitting)")
     args = p.parse_args(argv)
 
     import jax
@@ -36,7 +38,10 @@ def main(argv=None):
 
     cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
                                    "configs", "dyscene.yaml"))
+    import dataclasses
     mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=True)
+    if args.decode_chunk != 1:
+        mcfg = dataclasses.replace(mcfg, decode_frames_chunk=args.decode_chunk)
     model = MotionLatentModel(mcfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size

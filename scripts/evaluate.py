@@ -65,12 +65,24 @@ def main(argv=None):
                 f"fscore={out['fscore']:.4f} iou={out['iou']:.4f}")
             summaries.append({k: out[k] for k in ("chamfer", "fscore", "iou")})
     else:
+        from motion324_tpu.evaluation.clip_sim import (CLIPVisionTower,
+                                                       CLIPVisionCfg,
+                                                       DreamSim,
+                                                       clip_similarity)
         from motion324_tpu.evaluation.video_metrics import (
-            LPIPSVGG, lpips_distance, prepare_video, psnr, split_subvideos,
-            ssim)
+            LPIPSVGG, compute_fvd, lpips_distance, prepare_video, psnr,
+            split_subvideos, ssim)
         from motion324_tpu.inference.pipeline import load_video
 
         lpips_model = LPIPSVGG()
+        # protocol metrics (reference evaluation.py:133-203): LPIPS, CLIP
+        # similarity, DreamSim per pair; FVD over the pair sets. A compact
+        # tower keeps the no-weights CI path fast; converted bigG/DreamSim
+        # weights slot straight into these constructors.
+        clip_tower = CLIPVisionTower(CLIPVisionCfg(
+            hidden=128, intermediate=256, layers=2, heads=4, patch=32,
+            proj_dim=128))
+        dreamsim = DreamSim()
         for gt_path, pred_path in zip(args.gt_paths, args.result_paths):
             gt = prepare_video(load_video(gt_path))
             pr = prepare_video(load_video(pred_path))
@@ -79,6 +91,8 @@ def main(argv=None):
                 "psnr": float(np.mean([psnr(gt[i], pr[i]) for i in range(t)])),
                 "ssim": float(np.mean([ssim(gt[i], pr[i]) for i in range(t)])),
                 "lpips": lpips_distance(gt[:t], pr[:t], lpips_model),
+                "clip_sim": clip_similarity(gt[:t], pr[:t], tower=clip_tower),
+                "dreamsim": dreamsim(gt[:t], pr[:t]),
             }
             name = os.path.splitext(os.path.basename(pred_path))[0]
             with open(os.path.join(args.output, f"{name}.json"), "w") as f:

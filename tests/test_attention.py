@@ -86,3 +86,57 @@ def test_custom_scale():
     out = flash_attention(q, k, v, scale=0.5, block_q=128, block_kv=128, interpret=True)
     ref = mha_reference(q, k, v, scale=0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+# --------------------------------------------------------------------------- #
+# short-sequence kernel (KV resident in VMEM, fused single-pass backward)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("sq,sk", [(324, 324), (256, 256), (257, 257),
+                                   (200, 130)])
+def test_short_forward_matches_reference(sq, sk):
+    from motion324_tpu.ops.short_attention import short_attention
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, h, d = 2, 4, 64
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    out = short_attention(q, k, v, interpret=True)
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_short_gradients_match_reference():
+    from motion324_tpu.ops.short_attention import short_attention
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(4), 4)
+    b, h, sq, sk, d = 2, 2, 324, 324, 64
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    cot = _rand(kg, (b, h, sq, d))
+
+    def loss_short(q, k, v):
+        return jnp.sum(short_attention(q, k, v, interpret=True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) * cot)
+
+    g1 = jax.grad(loss_short, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_short_custom_scale_and_bf16():
+    from motion324_tpu.ops.short_attention import short_attention
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, h, s, d = 1, 2, 130, 64
+    q = _rand(kq, (b, h, s, d), jnp.bfloat16)
+    k = _rand(kk, (b, h, s, d), jnp.bfloat16)
+    v = _rand(kv, (b, h, s, d), jnp.bfloat16)
+    out = short_attention(q, k, v, scale=0.31, interpret=True)
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), scale=0.31)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)

@@ -184,3 +184,71 @@ def test_qem_beats_clustering_fidelity():
     clus = reduce_faces(mesh, 400, method="cluster")
     assert len(qem.faces) <= 400
     assert mean_radius_err(qem) <= mean_radius_err(clus)
+
+
+# --------------------------------------------------------------------------- #
+# grid hierarchy (FlashVDM voxel backbone)
+# --------------------------------------------------------------------------- #
+def _sphere_views(H=48, radius=0.8):
+    """3 orthographic 2-layer position/normal maps of a sphere surface."""
+    def view(dim):
+        u = np.linspace(-0.95, 0.95, H)
+        a, b = np.meshgrid(u, u, indexing="ij")
+        rr = radius ** 2 - a ** 2 - b ** 2
+        valid = rr > 0
+        c = np.sqrt(np.maximum(rr, 0))
+        layers, normals = [], []
+        for sgn in (1.0, -1.0):
+            if dim == 0:
+                xyz = np.stack([b, a, sgn * c], -1)
+            elif dim == 1:
+                xyz = np.stack([sgn * c, a, b], -1)
+            else:
+                xyz = np.stack([b, sgn * c, -a], -1)
+            pos = np.zeros((H, H, 4), np.float32)
+            pos[..., :3] = xyz
+            pos[..., 3] = valid
+            layers.append(pos)
+            normals.append((xyz / radius).astype(np.float32))
+        return np.stack(layers), np.stack(normals)
+
+    vp, vn = zip(*[view(d) for d in range(3)])
+    return list(vp), list(vn)
+
+
+def test_build_hierarchy_sphere():
+    from motion324_tpu.native import build_hierarchy
+    vp, vn = _sphere_views()
+    out = build_hierarchy(vp, vn, num_level=3, resolution=48)
+    sizes = out["level_sizes"]
+    assert sizes[0] > sizes[1] > sizes[2] > 0
+    # original voxel centres sit on the sphere (within a voxel diagonal)
+    orig = out["positions"][out["origin_mask"] > 0]
+    r = np.linalg.norm(orig, axis=1)
+    assert abs(float(r.mean()) - 0.8) < 0.05
+    # neighbor tables: centre slot is self, indices in range
+    for li, nb in enumerate(out["neighbors"]):
+        assert nb.shape == (sizes[li], 9)
+        assert (nb[:, 4] == np.arange(sizes[li])).all()
+        assert (nb < sizes[li]).all()
+        assert np.mean(nb >= 0) > 0.8  # sphere surface: mostly filled
+    # downsample: valid parents, child centre inside parent cell
+    ds0 = out["downsample"][0]
+    assert (ds0 >= 0).all() and (ds0 < sizes[1]).all()
+
+
+def test_build_hierarchy_corner_padding():
+    """Every coarse voxel must have even- and odd-corner children below it."""
+    from motion324_tpu.native import build_hierarchy
+    vp, vn = _sphere_views(H=32)
+    out = build_hierarchy(vp, vn, num_level=2, resolution=32)
+    ds = out["downsample"][0]
+    ev = out["even_corners"][0].astype(bool)
+    od = out["odd_corners"][0].astype(bool)
+    n_coarse = out["level_sizes"][1]
+    has_even = np.zeros(n_coarse, bool)
+    has_odd = np.zeros(n_coarse, bool)
+    has_even[ds[ev]] = True
+    has_odd[ds[od]] = True
+    assert has_even.all()
+    assert has_odd.all()
