@@ -125,6 +125,7 @@ class ShapeGenPipeline:
                  guidance_scale: float = 5.0, octree_resolution: int = 384,
                  mc_level: float = 0.0, num_chunks: int = 8192,
                  hierarchical: bool = True, box_v: float = 1.01,
+                 enable_flashvdm: bool = False, flashvdm_topk: int = 64,
                  seed: int = 0) -> TriMesh:
         """image (H, W, 3) in [0, 1] -> extracted TriMesh."""
         if image.shape[:2] != (self.image_size, self.image_size):
@@ -143,10 +144,19 @@ class ShapeGenPipeline:
                                 sigmas, float(guidance_scale))
 
         processed = self._vae_decode(self.params["vae"], latents)
-        decode = decode_volume_hierarchical if hierarchical else decode_volume
-        grid = decode(self._vae_query, self.params["vae"], processed,
-                      resolution=octree_resolution, box_v=box_v,
-                      chunk=num_chunks)
+        if enable_flashvdm:
+            # grid-sorted top-k decode (reference volume_decoders.py:280-435)
+            from motion324_tpu.hy3dgen.volume import decode_volume_flashvdm
+            grid = decode_volume_flashvdm(
+                self.vae, self.params["vae"], processed,
+                resolution=octree_resolution, box_v=box_v, chunk=num_chunks,
+                topk=flashvdm_topk)
+        else:
+            decode = (decode_volume_hierarchical if hierarchical
+                      else decode_volume)
+            grid = decode(self._vae_query, self.params["vae"], processed,
+                          resolution=octree_resolution, box_v=box_v,
+                          chunk=num_chunks)
 
         from motion324_tpu.native import marching_cubes
         verts, faces = marching_cubes(

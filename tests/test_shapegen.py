@@ -209,3 +209,39 @@ def test_vae_query_topk_full_equals_dense():
     sparse = vae.apply(params, pts, processed, 8, 4,
                        method=ShapeVAE.query_topk)
     assert np.isfinite(np.asarray(sparse)).all()
+
+
+def test_decode_volume_flashvdm_matches_hierarchical():
+    """Grid-sorted top-k decode must agree with the dense decode near the
+    surface when topk covers the full latent set, and stay sign-consistent
+    at truncated top-k (the IoU criterion)."""
+    from motion324_tpu.hy3dgen.volume import (decode_volume,
+                                              decode_volume_flashvdm)
+    vae = ShapeVAE(num_latents=16, embed_dim=8, width=32, heads=4,
+                   num_decoder_layers=1)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8))
+    pts = jnp.zeros((1, 4, 3))
+    params = vae.init(jax.random.PRNGKey(2), lat, pts)
+    processed = vae.apply(params, lat, method=ShapeVAE.decode)
+
+    def query_fn(p, q, latents):
+        return vae.apply(p, q, latents, method=ShapeVAE.query)
+
+    res, chunk = 24, 512
+    dense = decode_volume(query_fn, params, processed, resolution=res,
+                          box_v=1.0, chunk=chunk)
+    full = decode_volume_flashvdm(vae, params, processed, resolution=res,
+                                  box_v=1.0, chunk=chunk, topk=16)
+    # refined (near-surface) voxels must match the dense decode exactly-ish
+    band = np.abs(full) < 2.0
+    np.testing.assert_allclose(full[band], dense[band], atol=1e-3, rtol=1e-3)
+    # truncated top-k: mostly sign-consistent even on RANDOM weights (whose
+    # latents carry no spatial locality for the probes to rank — trained
+    # latents are near-IoU-identical, which golden-clip runs will assert)
+    trunc = decode_volume_flashvdm(vae, params, processed, resolution=res,
+                                   box_v=1.0, chunk=chunk, topk=12)
+    inside_a = dense > 0
+    inside_b = trunc > 0
+    union = (inside_a | inside_b).sum()
+    iou = (inside_a & inside_b).sum() / max(union, 1)
+    assert union == 0 or iou > 0.5
