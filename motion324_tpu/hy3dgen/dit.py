@@ -202,9 +202,13 @@ class Hunyuan3DDiT(nn.Module):
     def __call__(self, x, t, cond):
         latent = nn.Dense(self.hidden_size, dtype=self.dtype,
                           name="latent_in")(x.astype(self.dtype))
+        # QUIRK KEPT FOR PARITY: the reference passes ``self.time_factor``
+        # POSITIONALLY into timestep_embedding's ``max_period`` slot
+        # (hunyuan3ddit.py:393: ``timestep_embedding(t, 256, self.time_factor)``),
+        # so the shipped model runs with max_period = 1000, time_factor = 1000.
         vec = _MLPEmbedder(self.hidden_size, self.dtype, name="time_in")(
-            timestep_embedding(t, 256, time_factor=self.time_factor)
-            .astype(self.dtype))
+            timestep_embedding(t, 256, max_period=self.time_factor,
+                               time_factor=1000.0).astype(self.dtype))
         cond = nn.Dense(self.hidden_size, dtype=self.dtype,
                         name="cond_in")(cond.astype(self.dtype))
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["convert_motion_checkpoint", "convert_dinov2_vitb14",
+           "convert_hunyuan3d_dit", "convert_shape_vae", "convert_dinov2_hf",
            "load_torch_state_dict"]
 
 
@@ -183,5 +184,165 @@ def convert_dinov2_vitb14(sd: dict, depth: int = 12) -> dict:
             "mlp_fc2": _dense(sd, f"{b}.mlp.fc2"),
             "ls2_gamma": sd[f"{b}.ls2.gamma"].astype(np.float32),
         })
+    params["blocks"] = {"layers": {"block": _stack_layers(layers)}}
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# hy3dgen: Hunyuan3DDiT + ShapeVAE
+# --------------------------------------------------------------------------- #
+def convert_hunyuan3d_dit(sd: dict, depth: int = 16,
+                          depth_single: int = 32) -> dict:
+    """Reference ``Hunyuan3DDiT`` state dict -> our flax param tree.
+
+    Layout reference: hunyuan3ddit.py:284-410 (double_blocks.N.{img,txt}_attn
+    with fused qkv ordered (3, H, D) — identical to our fused split — plus
+    adaLN Modulation 'lin' layers, fused single-block linear1/linear2, and the
+    LastLayer adaLN_modulation). Validated numerically against the reference
+    torch module in tests/test_ref_parity.py.
+    """
+    def dense(name):
+        return _dense(sd, name)
+
+    def rms(name):
+        return {"scale": sd[f"{name}.scale"].astype(np.float32)}
+
+    doubles = []
+    for i in range(depth):
+        b = f"double_blocks.{i}"
+        doubles.append({
+            "img_mod": {"lin": dense(f"{b}.img_mod.lin")},
+            "txt_mod": {"lin": dense(f"{b}.txt_mod.lin")},
+            "img_attn": {"qkv": dense(f"{b}.img_attn.qkv"),
+                         "q_norm": rms(f"{b}.img_attn.norm.query_norm"),
+                         "k_norm": rms(f"{b}.img_attn.norm.key_norm")},
+            "txt_attn": {"qkv": dense(f"{b}.txt_attn.qkv"),
+                         "q_norm": rms(f"{b}.txt_attn.norm.query_norm"),
+                         "k_norm": rms(f"{b}.txt_attn.norm.key_norm")},
+            "img_proj": dense(f"{b}.img_attn.proj"),
+            "txt_proj": dense(f"{b}.txt_attn.proj"),
+            "img_mlp_fc1": dense(f"{b}.img_mlp.0"),
+            "img_mlp_fc2": dense(f"{b}.img_mlp.2"),
+            "txt_mlp_fc1": dense(f"{b}.txt_mlp.0"),
+            "txt_mlp_fc2": dense(f"{b}.txt_mlp.2"),
+        })
+    singles = []
+    for i in range(depth_single):
+        b = f"single_blocks.{i}"
+        singles.append({
+            "modulation": {"lin": dense(f"{b}.modulation.lin")},
+            "linear1": dense(f"{b}.linear1"),
+            "linear2": dense(f"{b}.linear2"),
+            "q_norm": rms(f"{b}.norm.query_norm"),
+            "k_norm": rms(f"{b}.norm.key_norm"),
+        })
+    params = {
+        "latent_in": _dense(sd, "latent_in"),
+        "cond_in": _dense(sd, "cond_in"),
+        "time_in": {"in_layer": _dense(sd, "time_in.in_layer"),
+                    "out_layer": _dense(sd, "time_in.out_layer")},
+        "double_blocks": {"block": _stack_layers(doubles)},
+        "single_blocks": {"block": _stack_layers(singles)},
+        "final_mod": _dense(sd, "final_layer.adaLN_modulation.1"),
+        "final_linear": _dense(sd, "final_layer.linear"),
+    }
+    return {"params": params}
+
+
+def convert_shape_vae(sd: dict, num_layers: int = 16) -> dict:
+    """Reference ``ShapeVAE`` (decoder path) state dict -> our flax tree.
+
+    Layout reference: autoencoders/model.py:132-189 + attention_blocks.py
+    (post_kl, transformer.resblocks.N.{attn.c_qkv,attn.c_proj,ln_1,ln_2,
+    mlp.c_fc,mlp.c_proj}, geo_decoder.{query_proj,cross_attn_decoder,ln_post,
+    output_proj}). The fused qkv is per-head (B, L, H, 3*hd) in BOTH
+    implementations, so weights transpose directly.
+    """
+    blocks = []
+    for i in range(num_layers):
+        b = f"transformer.resblocks.{i}"
+        blocks.append({
+            "ln_1": _ln(sd, f"{b}.ln_1"),
+            "c_qkv": _dense(sd, f"{b}.attn.c_qkv"),
+            "c_proj": _dense(sd, f"{b}.attn.c_proj"),
+            "ln_2": _ln(sd, f"{b}.ln_2"),
+            "c_fc": _dense(sd, f"{b}.mlp.c_fc"),
+            "c_proj_mlp": _dense(sd, f"{b}.mlp.c_proj"),
+        })
+    g = "geo_decoder.cross_attn_decoder"
+    params = {
+        "post_kl": _dense(sd, "post_kl"),
+        "blocks": {"layers": {"block": _stack_layers(blocks)}},
+        "query_proj": _dense(sd, "geo_decoder.query_proj"),
+        "geo_decoder": {
+            "ln_1": _ln(sd, f"{g}.ln_1"),
+            "ln_2": _ln(sd, f"{g}.ln_2"),
+            "ln_3": _ln(sd, f"{g}.ln_3"),
+            "c_q": _dense(sd, f"{g}.attn.c_q"),
+            "c_kv": _dense(sd, f"{g}.attn.c_kv"),
+            "c_proj": _dense(sd, f"{g}.attn.c_proj"),
+            "c_fc": _dense(sd, f"{g}.mlp.c_fc"),
+            "c_proj_mlp": _dense(sd, f"{g}.mlp.c_proj"),
+        },
+        "ln_post": _ln(sd, "geo_decoder.ln_post"),
+        "output_proj": _dense(sd, "geo_decoder.output_proj"),
+    }
+    return {"params": params}
+
+
+def convert_dinov2_hf(sd: dict, depth: int = 12, swiglu: bool = False) -> dict:
+    """HF ``transformers.Dinov2Model`` state dict -> our DinoViT param tree.
+
+    Covers both the MLP variant (ViT-S/B/L) and the SwiGLU FFN variant
+    (ViT-giant, the reference's shape-gen conditioner — conditioner.py:96-133).
+    HF stores q/k/v separately; our fused qkv concatenates them along the
+    output axis (identical per-head channel order). Validated against the real
+    torch implementation in tests/test_ref_parity.py.
+    """
+    def t(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v, np.float32)
+
+    conv_w = t("embeddings.patch_embeddings.projection.weight")
+    params: dict = {
+        "patch_embed": {"kernel": conv_w.transpose(2, 3, 1, 0),
+                        "bias": t("embeddings.patch_embeddings.projection.bias")},
+        "cls_token": t("embeddings.cls_token"),
+        "pos_embed": t("embeddings.position_embeddings"),
+        "norm": {"scale": t("layernorm.weight"), "bias": t("layernorm.bias")},
+    }
+    layers = []
+    for i in range(depth):
+        b = f"encoder.layer.{i}"
+        qkv_w = np.concatenate([t(f"{b}.attention.attention.query.weight").T,
+                                t(f"{b}.attention.attention.key.weight").T,
+                                t(f"{b}.attention.attention.value.weight").T],
+                               axis=1)
+        qkv_b = np.concatenate([t(f"{b}.attention.attention.query.bias"),
+                                t(f"{b}.attention.attention.key.bias"),
+                                t(f"{b}.attention.attention.value.bias")])
+        layer = {
+            "norm1": {"scale": t(f"{b}.norm1.weight"),
+                      "bias": t(f"{b}.norm1.bias")},
+            "attn": {"qkv": {"kernel": qkv_w, "bias": qkv_b},
+                     "proj": {"kernel": t(f"{b}.attention.output.dense.weight").T,
+                              "bias": t(f"{b}.attention.output.dense.bias")}},
+            "ls1_gamma": t(f"{b}.layer_scale1.lambda1"),
+            "norm2": {"scale": t(f"{b}.norm2.weight"),
+                      "bias": t(f"{b}.norm2.bias")},
+            "ls2_gamma": t(f"{b}.layer_scale2.lambda1"),
+        }
+        if swiglu:
+            layer["mlp_w12"] = {"kernel": t(f"{b}.mlp.weights_in.weight").T,
+                                "bias": t(f"{b}.mlp.weights_in.bias")}
+            layer["mlp_w3"] = {"kernel": t(f"{b}.mlp.weights_out.weight").T,
+                               "bias": t(f"{b}.mlp.weights_out.bias")}
+        else:
+            layer["mlp_fc1"] = {"kernel": t(f"{b}.mlp.fc1.weight").T,
+                                "bias": t(f"{b}.mlp.fc1.bias")}
+            layer["mlp_fc2"] = {"kernel": t(f"{b}.mlp.fc2.weight").T,
+                                "bias": t(f"{b}.mlp.fc2.bias")}
+        layers.append(layer)
     params["blocks"] = {"layers": {"block": _stack_layers(layers)}}
     return params

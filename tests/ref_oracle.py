@@ -1,0 +1,87 @@
+"""Import the REFERENCE repo's torch modules as test oracles.
+
+The reference tree at /root/reference is read-only public content used here
+only to validate our weight converters numerically: its model classes are
+instantiated with random weights and compared against our flax modules after
+conversion. Heavy dependencies the reference expects (diffusers, trimesh,
+pymeshlab, ...) are stubbed just enough for the MODEL modules to import —
+pipelines are never exercised.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REF = "/root/reference/scripts"
+
+
+def _stub(name, **attrs):
+    import importlib.util
+    if name not in sys.modules:
+        try:  # never shadow a real installed module
+            if importlib.util.find_spec(name) is not None:
+                return None
+        except (ImportError, ModuleNotFoundError, ValueError):
+            pass
+        import importlib.machinery
+        m = types.ModuleType(name)
+        m.__path__ = []  # mark as package
+        # a real-looking spec so find_spec() probes (e.g. transformers') work
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None,
+                                                    is_package=True)
+        sys.modules[name] = m
+    m = sys.modules[name]
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    return m
+
+
+def install_stubs():
+    class _Cfg:
+        pass
+
+    def _noop(*a, **k):
+        return None
+
+    _stub("trimesh", Trimesh=_Cfg, Scene=_Cfg, PointCloud=_Cfg)
+    _stub("pymeshlab", MeshSet=_Cfg, Mesh=_Cfg)
+    sk = _stub("skimage")
+    skm = _stub("skimage.measure", marching_cubes=_noop)
+    sk.measure = skm
+    _stub("tqdm", tqdm=lambda x, **k: x)
+    _stub("diffusers")
+    _stub("diffusers.utils", BaseOutput=dict,
+          logging=types.SimpleNamespace(get_logger=lambda *a, **k: None))
+    _stub("diffusers.utils.torch_utils", randn_tensor=_noop)
+    _stub("diffusers.utils.import_utils",
+          is_accelerate_version=lambda *a, **k: False,
+          is_accelerate_available=lambda *a, **k: False)
+    _stub("diffusers.configuration_utils", ConfigMixin=object,
+          register_to_config=lambda f: f)
+    _stub("diffusers.schedulers.scheduling_utils", SchedulerMixin=object)
+    _stub("diffusers.image_processor", VaeImageProcessor=_Cfg)
+    _stub("torchvision", transforms=types.SimpleNamespace(
+        Compose=_noop, Normalize=_noop, Resize=_noop, CenterCrop=_noop,
+        ToTensor=_noop, InterpolationMode=types.SimpleNamespace(
+            BICUBIC=None, BILINEAR=None)))
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+
+def ref_dit_module():
+    """Reference hunyuan3ddit module, loaded standalone (torch+einops only)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_hunyuan3ddit",
+        f"{REF}/hy3dgen/shapegen/models/denoisers/hunyuan3ddit.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ref_shape_vae():
+    """Reference ShapeVAE class (package import with stubbed deps)."""
+    install_stubs()
+    from hy3dgen.shapegen.models.autoencoders.model import ShapeVAE
+    return ShapeVAE
