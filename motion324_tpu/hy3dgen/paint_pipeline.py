@@ -70,8 +70,10 @@ class PaintPipeline:
 
     def __init__(self, multiview_model: Callable | None = None,
                  multiview_params: dict | None = None,
-                 resolution: int = 512, texture_size: int = 1024,
+                 resolution: int = 512, texture_size: int = 2048,
                  delight: bool = True, interpret: bool = False):
+        # texture_size 2048 matches the reference's shipped config
+        # (texgen/pipelines.py:45-47); views render/diffuse at 512^2.
         if multiview_model is None and multiview_params is not None:
             from motion324_tpu.hy3dgen.paint_diffusion import MultiviewDiffusion
             multiview_model = MultiviewDiffusion(multiview_params)

@@ -126,11 +126,23 @@ class ShapeGenPipeline:
                  mc_level: float = 0.0, num_chunks: int = 8192,
                  hierarchical: bool = True, box_v: float = 1.01,
                  enable_flashvdm: bool = False, flashvdm_topk: int = 64,
+                 recenter: bool = True, border_ratio: float = 0.15,
                  seed: int = 0) -> TriMesh:
-        """image (H, W, 3) in [0, 1] -> extracted TriMesh."""
-        if image.shape[:2] != (self.image_size, self.image_size):
+        """image (H, W, 3|4) in [0, 1] -> extracted TriMesh.
+
+        ``recenter`` applies the alpha-aware border-ratio recentering the
+        reference always runs before conditioning (ImageProcessorV2,
+        preprocessors.py:30-117); disable only for pre-processed inputs.
+        """
+        if recenter:
+            from motion324_tpu.hy3dgen.preprocess_image import (
+                prepare_condition_image)
+            image, _ = prepare_condition_image(image, self.image_size,
+                                               border_ratio)
+        elif image.shape[:2] != (self.image_size, self.image_size):
             image = np.asarray(jax.image.resize(
-                jnp.asarray(image), (self.image_size, self.image_size, 3),
+                jnp.asarray(image[..., :3]),
+                (self.image_size, self.image_size, 3),
                 method="linear", antialias=True))
 
         cond = self._encode_cond(self.params["conditioner"],

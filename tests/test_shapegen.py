@@ -245,3 +245,27 @@ def test_decode_volume_flashvdm_matches_hierarchical():
     union = (inside_a | inside_b).sum()
     iou = (inside_a & inside_b).sum() / max(union, 1)
     assert union == 0 or iou > 0.5
+
+
+def test_recenter_image_protocol():
+    """Alpha bbox fills (1-border)*canvas, centred, white background
+    (reference ImageProcessorV2.recenter, preprocessors.py:33-86)."""
+    from motion324_tpu.hy3dgen.preprocess_image import (
+        prepare_condition_image, recenter_image)
+    img = np.zeros((100, 80, 4), np.float32)
+    img[20:60, 10:30, 0] = 1.0   # red subject
+    img[20:60, 10:30, 3] = 1.0   # alpha
+    out, mask = recenter_image(img, border_ratio=0.2)
+    assert out.shape == (100, 100, 3)
+    ys, xs = np.nonzero(mask > 0.5)
+    h, w = ys.max() - ys.min(), xs.max() - xs.min()
+    assert abs(max(h, w) - 80) <= 2          # longest side = (1-0.2)*100
+    assert abs((ys.min() + ys.max()) / 2 - 49.5) < 2  # centred
+    assert abs((xs.min() + xs.max()) / 2 - 49.5) < 2
+    # background is white, subject red
+    assert np.allclose(out[0, 0], 1.0)
+    cy, cx = int(ys.mean()), int(xs.mean())
+    assert out[cy, cx, 0] > 0.9 and out[cy, cx, 1] < 0.1
+
+    cond, m = prepare_condition_image(img, size=64)
+    assert cond.shape == (64, 64, 3) and m.shape == (64, 64)
