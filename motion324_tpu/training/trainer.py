@@ -84,6 +84,9 @@ class Trainer:
         return TrainState.create(params, self.tx)
 
     def _put(self, batch):
+        """Host batch -> globally sharded device arrays (multi-host aware:
+        each process contributes its local shard of the global batch)."""
+        from motion324_tpu.parallel.distributed import global_batch_from_local
         if self.accum > 1:
             batch = jax.tree.map(
                 lambda x: x.reshape(self.accum, x.shape[0] // self.accum,
@@ -92,7 +95,7 @@ class Trainer:
             sharding = jax.sharding.NamedSharding(self.mesh, spec)
         else:
             sharding = self._sharding
-        return jax.device_put(batch, sharding)
+        return global_batch_from_local(batch, sharding)
 
     def train(self, state: TrainState | None = None, max_steps: int | None = None):
         t = self.cfg.training

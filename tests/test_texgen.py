@@ -104,3 +104,91 @@ def test_discrete_voxel_indices_range():
     assert idx.min() >= 0 and idx.max() <= 63
     multi = multi_resolution_voxel_indices(jnp.asarray(pos), (4,), (64,))
     assert 32 in multi
+
+
+# --------------------------------------------------------------------------- #
+# LSCM parameterisation
+# --------------------------------------------------------------------------- #
+def _hemisphere(n=16):
+    """Open hemisphere mesh (curved chart — box projection distorts it)."""
+    import numpy as np
+    thetas = np.linspace(0, np.pi / 2 * 0.85, n)
+    verts = [[0, 0, 1.0]]
+    rows = [[0]]
+    for t in thetas[1:]:
+        m = max(int(round(np.sin(t) * n * 4)), 3)
+        row = []
+        for j in range(m):
+            p = 2 * np.pi * j / m
+            row.append(len(verts))
+            verts.append([np.sin(t) * np.cos(p), np.sin(t) * np.sin(p),
+                          np.cos(t)])
+        rows.append(row)
+    faces = []
+    for r0, r1 in zip(rows[:-1], rows[1:]):
+        if len(r0) == 1:
+            for j in range(len(r1)):
+                faces.append([r0[0], r1[j], r1[(j + 1) % len(r1)]])
+        else:
+            # stitch rings by nearest angular order
+            for j in range(len(r1)):
+                a = r1[j]
+                b = r1[(j + 1) % len(r1)]
+                c = r0[int(round(j * len(r0) / len(r1))) % len(r0)]
+                faces.append([c, a, b])
+            for j in range(len(r0)):
+                a = r0[j]
+                b = r0[(j + 1) % len(r0)]
+                c = r1[int(round((j + 0.5) * len(r1) / len(r0))) % len(r1)]
+                faces.append([a, c, b])
+    return (np.asarray(verts, np.float32), np.asarray(faces, np.int64))
+
+
+def test_lscm_is_conformal_on_flat_patch():
+    """On a planar patch LSCM must recover an (approximately) isometric map."""
+    import numpy as np
+    from motion324_tpu.hy3dgen.uv_unwrap import lscm_parameterize, stretch_metric
+    n = 6
+    xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+    verts = np.stack([xs.ravel(), ys.ravel(), 0 * xs.ravel()], -1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    faces = np.asarray(faces)
+    uv = lscm_parameterize(verts, faces)
+    assert uv is not None
+    assert stretch_metric(verts, faces, uv) < 1.02
+
+
+def test_lscm_beats_box_projection_on_curved_chart():
+    import numpy as np
+    from motion324_tpu.hy3dgen.uv_unwrap import (lscm_parameterize,
+                                                 stretch_metric)
+    verts, faces = _hemisphere()
+    uv_lscm = lscm_parameterize(verts, faces)
+    assert uv_lscm is not None
+    # box projection along +z (the dominant axis for a top hemisphere)
+    uv_box = verts[:, :2].copy()
+    s_lscm = stretch_metric(verts, faces, uv_lscm)
+    s_box = stretch_metric(verts, faces, uv_box)
+    assert s_lscm < s_box  # conformal beats orthographic on curvature
+
+
+def test_unwrap_lscm_atlas_valid():
+    """Full unwrap: UVs in [0,1], vmapping consistent, islands not collapsed."""
+    import numpy as np
+    from motion324_tpu.hy3dgen.uv_unwrap import unwrap_uv
+    from motion324_tpu.io.mesh import TriMesh
+    verts, faces = _hemisphere(10)
+    out, vmap = unwrap_uv(TriMesh(vertices=verts, faces=faces), method="lscm")
+    assert out.uv.min() >= 0 and out.uv.max() <= 1
+    np.testing.assert_allclose(out.vertices, verts[vmap])
+    # total UV area is a sane fraction of the atlas
+    tri = out.uv[out.faces]
+    area = 0.5 * np.abs(
+        (tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
+        - (tri[:, 2, 0] - tri[:, 0, 0]) * (tri[:, 1, 1] - tri[:, 0, 1])).sum()
+    assert area > 0.05

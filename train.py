@@ -29,19 +29,28 @@ def main(argv=None):
     from motion324_tpu.training.trainer import Trainer
     from motion324_tpu.utils.logging import log
 
+    from motion324_tpu.parallel.distributed import (init_distributed,
+                                                    process_seed)
+    proc, nproc = init_distributed()
+
     cfg = load_config(args.config, args.overrides)
     mesh = make_mesh(cfg.get_path("mesh.dp", -1), cfg.get_path("mesh.mp", 1))
     t = cfg.training
     global_batch = int(t.batch_size_per_device) * mesh.shape["dp"] \
         * int(t.get("grad_accum_steps", 1))
-    log(f"devices={jax.device_count()} mesh={dict(mesh.shape)} "
-        f"global_batch={global_batch}")
+    local_batch = global_batch // nproc
+    log(f"devices={jax.device_count()} (local {jax.local_device_count()}) "
+        f"process {proc}/{nproc} mesh={dict(mesh.shape)} "
+        f"global_batch={global_batch} local_batch={local_batch}")
 
-    dataset = DysceneDataset(cfg, seed=int(t.get("seed", 0)))
-    loader = PrefetchLoader(dataset, batch_size=global_batch,
+    # per-process seed offset so hosts draw disjoint samples (reference
+    # setup.py:125 seeds rank-dependently; = DistributedSampler's role)
+    seed = process_seed(int(t.get("seed", 0)))
+    dataset = DysceneDataset(cfg, seed=seed)
+    loader = PrefetchLoader(dataset, batch_size=local_batch,
                             num_workers=int(t.get("num_workers", 8)),
                             prefetch=int(t.get("prefetch_factor", 2)),
-                            seed=int(t.get("seed", 0)))
+                            seed=seed)
     trainer = Trainer(cfg, loader, mesh=mesh)
     trainer.train()
 
