@@ -211,4 +211,13 @@ def load_mesh(path: str) -> TriMesh:
                        normals=data.get("normals"))
     if ext == ".obj":
         return _load_obj(path)
+    if ext == ".fbx":
+        # reference loads generated meshes from FBX
+        # (inference_with_video_only.py:56-180, via bpy; ours is native)
+        from motion324_tpu.io.fbx import load_fbx
+        data = load_fbx(path)
+        return TriMesh(vertices=np.asarray(data["vertices"], np.float32),
+                       faces=np.asarray(data["faces"], np.int64),
+                       uv=None if data["uv"] is None
+                       else np.asarray(data["uv"], np.float32))
     raise ValueError(f"unsupported mesh format: {ext}")

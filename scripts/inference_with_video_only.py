@@ -117,7 +117,14 @@ def main(argv=None):
     export_animated_glb(out_path, to_blender_coords(norm_mesh.vertices),
                         norm_mesh.faces, to_blender_coords(trajs[0]),
                         uv=norm_mesh.uv, texture=norm_mesh.texture)
-    log(f"done: {out_path}")
+    # the reference's video-only product emits FBX
+    # (inference_with_video_only.py:596-604 via bpy); ours writes it natively
+    from motion324_tpu.io.fbx import export_animated_fbx
+    fbx_path = os.path.join(args.output, "output_animation.fbx")
+    export_animated_fbx(fbx_path, to_blender_coords(norm_mesh.vertices),
+                        norm_mesh.faces, to_blender_coords(trajs[0]),
+                        uv=norm_mesh.uv)
+    log(f"done: {out_path} + {fbx_path}")
     return 0
 
 
