@@ -100,6 +100,18 @@ def main(argv=None):
             log(f"{name}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()))
             summaries.append(rec)
 
+        if len(args.gt_paths) > 1:
+            # FVD is a distribution distance: computed across the pair SETS
+            # (reference evaluation.py:200-203)
+            from motion324_tpu.evaluation.i3d import i3d_feature_fn
+            fn = i3d_feature_fn()
+            gts = [prepare_video(load_video(p)) for p in args.gt_paths]
+            prs = [prepare_video(load_video(p)) for p in args.result_paths]
+            fvd = compute_fvd(gts, prs, fn)
+            log(f"FVD over {len(gts)} pairs: {fvd:.3f}")
+            for s in summaries:
+                s["fvd"] = fvd
+
     agg = {k: float(np.mean([s[k] for s in summaries]))
            for k in summaries[0]}
     with open(os.path.join(args.output, "summary.json"), "w") as f:

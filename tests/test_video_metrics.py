@@ -74,3 +74,24 @@ def test_lpips_distance_video():
     v1 = np.random.RandomState(5).rand(2, 64, 64, 3).astype(np.float32)
     d = lpips_distance(v1, v1, model)
     assert d == pytest.approx(0.0, abs=1e-5)
+
+
+def test_i3d_features_and_fvd():
+    """I3D video features: deterministic, clip-sensitive, and pluggable into
+    the FVD protocol (reference fvd.py:9-18, calculate_fvd.py:15-80)."""
+    from motion324_tpu.evaluation.i3d import I3D, i3d_feature_fn
+    fn = i3d_feature_fn(size=64)  # small crop: CI-cheap, same architecture
+    rng = np.random.RandomState(0)
+    v1 = rng.rand(8, 64, 64, 3).astype(np.float32)
+    v2 = rng.rand(8, 64, 64, 3).astype(np.float32)
+    f1 = fn(v1)
+    assert f1.shape == (400,)
+    np.testing.assert_allclose(f1, fn(v1), atol=1e-6)  # deterministic
+    assert not np.allclose(f1, fn(v2))                  # content-sensitive
+
+    vids1 = [rng.rand(8, 64, 64, 3).astype(np.float32) for _ in range(4)]
+    vids2 = [v + 0.05 for v in vids1]
+    d_same = compute_fvd(vids1, vids1, fn)
+    d_diff = compute_fvd(vids1, vids2, fn)
+    assert d_same == pytest.approx(0.0, abs=1e-4)
+    assert d_diff > d_same
