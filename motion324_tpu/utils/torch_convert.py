@@ -21,6 +21,7 @@ import numpy as np
 
 __all__ = ["convert_motion_checkpoint", "convert_dinov2_vitb14",
            "convert_hunyuan3d_dit", "convert_shape_vae", "convert_dinov2_hf",
+           "convert_u2net", "convert_lpips",
            "load_torch_state_dict"]
 
 
@@ -346,3 +347,101 @@ def convert_dinov2_hf(sd: dict, depth: int = 12, swiglu: bool = False) -> dict:
         layers.append(layer)
     params["blocks"] = {"layers": {"block": _stack_layers(layers)}}
     return params
+
+
+# --------------------------------------------------------------------------- #
+# U2Net (u2net.pth, xuebinqin/U-2-Net naming) and LPIPS
+# --------------------------------------------------------------------------- #
+def _conv_bn(sd, name):
+    """torch REBNCONV {conv_s1, bn_s1} -> our _ConvBNReLU {conv, bn} (+stats)."""
+    w = sd[f"{name}.conv_s1.weight"]  # (out, in, 3, 3)
+    params = {"conv": {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                       "bias": sd[f"{name}.conv_s1.bias"].astype(np.float32)},
+              "bn": {"scale": sd[f"{name}.bn_s1.weight"].astype(np.float32),
+                     "bias": sd[f"{name}.bn_s1.bias"].astype(np.float32)}}
+    stats = {"bn": {"mean": sd[f"{name}.bn_s1.running_mean"].astype(np.float32),
+                    "var": sd[f"{name}.bn_s1.running_var"].astype(np.float32)}}
+    return params, stats
+
+
+def _rsu(sd, name, height):
+    """torch RSU{height} -> our RSU tree: rebnconvin/conv_in,
+    rebnconv{i+1}/enc_i, rebnconv{height}/bottom, rebnconv{i+1}d/dec_i."""
+    params, stats = {}, {}
+
+    def put(our, theirs):
+        p, s = _conv_bn(sd, f"{name}.{theirs}")
+        params[our] = p
+        stats[our] = s
+
+    put("conv_in", "rebnconvin")
+    for i in range(height - 1):
+        put(f"enc_{i}", f"rebnconv{i + 1}")
+    put("bottom", f"rebnconv{height}")
+    for i in range(height - 1):
+        put(f"dec_{i}", f"rebnconv{i + 1}d")
+    return params, stats
+
+
+def _rsu4f(sd, name):
+    """torch RSU4F -> our RSU4F tree (e1..e4 = rebnconv1..4, d3..d1)."""
+    params, stats = {}, {}
+
+    def put(our, theirs):
+        p, s = _conv_bn(sd, f"{name}.{theirs}")
+        params[our] = p
+        stats[our] = s
+
+    put("conv_in", "rebnconvin")
+    for i in range(1, 5):
+        put(f"e{i}", f"rebnconv{i}")
+    for i in (3, 2, 1):
+        put(f"d{i}", f"rebnconv{i}d")
+    return params, stats
+
+
+def convert_u2net(sd: dict) -> dict:
+    """u2net.pth state dict -> our flax U2Net variables (params + batch_stats).
+
+    Layout reference: the public U-2-Net torch implementation the reference's
+    rembg sessions run as ONNX (reference: utils/rmbg_for_black_bg.py:26,
+    utils/inference_utils.py:198-234). Heights per stage: RSU7..RSU4 encoders,
+    two RSU4F at the bottom, mirrored decoders, side1..side6 + outconv.
+    """
+    heights = {"stage1": 7, "stage2": 6, "stage3": 5, "stage4": 4,
+               "stage1d": 7, "stage2d": 6, "stage3d": 5, "stage4d": 4}
+    params: dict = {}
+    stats: dict = {}
+    for st, h in heights.items():
+        params[st], stats[st] = _rsu(sd, st, h)
+    for st in ("stage5", "stage6", "stage5d"):
+        params[st], stats[st] = _rsu4f(sd, st)
+    for i in range(1, 7):
+        w = sd[f"side{i}.weight"]
+        params[f"side{i}"] = {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                              "bias": sd[f"side{i}.bias"].astype(np.float32)}
+    params["outconv"] = {
+        "kernel": sd["outconv.weight"].transpose(2, 3, 1, 0).astype(np.float32),
+        "bias": sd["outconv.bias"].astype(np.float32)}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_lpips(lins_sd: dict, vgg_sd: dict) -> dict:
+    """LPIPS weights -> our LPIPSVGG params.
+
+    ``lins_sd``: the lpips package checkpoint (``lin{i}.model.1.weight``, the
+    five 1x1 non-negative heads — reference evaluation/lpips/lpips.py:22-180);
+    ``vgg_sd``: torchvision ``vgg16.features`` state dict
+    (``features.{idx}.weight/bias`` at conv indices 0,2,5,7,10,12,14,17,
+    19,21,24,26,28).
+    """
+    vgg_conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    convs = {}
+    for our_i, t_i in enumerate(vgg_conv_idx):
+        w = vgg_sd[f"features.{t_i}.weight"]
+        convs[f"conv_{our_i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": vgg_sd[f"features.{t_i}.bias"].astype(np.float32)}
+    lins = [np.asarray(lins_sd[f"lin{i}.model.1.weight"],
+                       np.float32).reshape(-1) for i in range(5)]
+    return {"vgg": {"params": convs}, "lins": lins}

@@ -20,3 +20,10 @@ import jax  # noqa: E402
 # the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of sharded train steps and model fixtures — cached, a full run
+# drops from ~22 min to a few minutes. (The axon AOT service deadlocks with
+# this cache, which is why it is enabled here for CPU only, not globally.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/motion324_test_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -154,3 +154,102 @@ def test_block_numerical_parity_with_torch():
     ours = np.asarray(block.apply(params, jnp.asarray(x)))
     theirs = _torch_block(sd, prefix, x)
     np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=2e-5)
+
+
+# --------------------------------------------------------------------------- #
+# U2Net + LPIPS converters (synthesized public-layout state dicts)
+# --------------------------------------------------------------------------- #
+def _u2net_torch_sd(rng):
+    """State dict with the exact public U-2-Net naming/shapes (full size)."""
+    sd = {}
+
+    def rebn(name, cin, cout):
+        sd[f"{name}.conv_s1.weight"] = rng.randn(cout, cin, 3, 3).astype("f") * 0.05
+        sd[f"{name}.conv_s1.bias"] = rng.randn(cout).astype("f") * 0.05
+        sd[f"{name}.bn_s1.weight"] = np.ones(cout, "f")
+        sd[f"{name}.bn_s1.bias"] = np.zeros(cout, "f")
+        sd[f"{name}.bn_s1.running_mean"] = np.zeros(cout, "f")
+        sd[f"{name}.bn_s1.running_var"] = np.ones(cout, "f")
+
+    def rsu(name, height, cin, mid, cout):
+        rebn(f"{name}.rebnconvin", cin, cout)
+        rebn(f"{name}.rebnconv1", cout, mid)
+        for i in range(2, height):
+            rebn(f"{name}.rebnconv{i}", mid, mid)
+        rebn(f"{name}.rebnconv{height}", mid, mid)
+        rebn(f"{name}.rebnconv{height - 1}d", mid * 2, mid)
+        for i in range(height - 2, 1, -1):
+            rebn(f"{name}.rebnconv{i}d", mid * 2, mid)
+        rebn(f"{name}.rebnconv1d", mid * 2, cout)
+
+    def rsu4f(name, cin, mid, cout):
+        rebn(f"{name}.rebnconvin", cin, cout)
+        rebn(f"{name}.rebnconv1", cout, mid)
+        for i in (2, 3, 4):
+            rebn(f"{name}.rebnconv{i}", mid, mid)
+        rebn(f"{name}.rebnconv3d", mid * 2, mid)
+        rebn(f"{name}.rebnconv2d", mid * 2, mid)
+        rebn(f"{name}.rebnconv1d", mid * 2, cout)
+
+    rsu("stage1", 7, 3, 32, 64)
+    rsu("stage2", 6, 64, 32, 128)
+    rsu("stage3", 5, 128, 64, 256)
+    rsu("stage4", 4, 256, 128, 512)
+    rsu4f("stage5", 512, 256, 512)
+    rsu4f("stage6", 512, 256, 512)
+    rsu4f("stage5d", 1024, 256, 512)
+    rsu("stage4d", 4, 1024, 128, 256)
+    rsu("stage3d", 5, 512, 64, 128)
+    rsu("stage2d", 6, 256, 32, 64)
+    rsu("stage1d", 7, 128, 16, 64)
+    for i, c in zip(range(1, 7), (64, 64, 128, 256, 512, 512)):
+        sd[f"side{i}.weight"] = rng.randn(1, c, 3, 3).astype("f") * 0.05
+        sd[f"side{i}.bias"] = np.zeros(1, "f")
+    sd["outconv.weight"] = rng.randn(1, 6, 1, 1).astype("f") * 0.2
+    sd["outconv.bias"] = np.zeros(1, "f")
+    return sd
+
+
+def test_convert_u2net_runs_and_matches_structure():
+    from motion324_tpu.inference.segmentation import U2Net
+    from motion324_tpu.utils.torch_convert import convert_u2net
+    rng = np.random.RandomState(0)
+    variables = convert_u2net(_u2net_torch_sd(rng))
+    model = U2Net()
+    # structural check against a fresh init: identical tree + leaf shapes
+    x = jnp.zeros((1, 64, 64, 3))
+    ref_vars = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    ref_flat = {jax.tree_util.keystr(k): v.shape for k, v in
+                jax.tree_util.tree_flatten_with_path(ref_vars)[0]}
+    got_flat = {jax.tree_util.keystr(k): np.shape(v) for k, v in
+                jax.tree_util.tree_flatten_with_path(variables)[0]}
+    assert ref_flat == got_flat
+    out = model.apply(variables, jnp.asarray(
+        np.random.RandomState(1).rand(1, 64, 64, 3), jnp.float32))
+    assert out.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0 <= float(out.min()) and float(out.max()) <= 1
+
+
+def test_convert_lpips_runs():
+    from motion324_tpu.evaluation.video_metrics import LPIPSVGG
+    from motion324_tpu.utils.torch_convert import convert_lpips
+    rng = np.random.RandomState(2)
+    cfg = LPIPSVGG.VGG_CFG
+    chans = [c for c in cfg if c != "M"]
+    vgg_sd = {}
+    cin = 3
+    for t_i, c in zip([0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28], chans):
+        vgg_sd[f"features.{t_i}.weight"] = rng.randn(c, cin, 3, 3).astype("f") * 0.05
+        vgg_sd[f"features.{t_i}.bias"] = np.zeros(c, "f")
+        cin = c
+    taps = [chans[i] for i in LPIPSVGG.STAGES]
+    lins_sd = {f"lin{i}.model.1.weight":
+               np.abs(rng.randn(1, c, 1, 1)).astype("f") for i, c in
+               enumerate(taps)}
+    params = convert_lpips(lins_sd, vgg_sd)
+    model = LPIPSVGG(params=params)
+    a = rng.rand(32, 32, 3).astype("f")
+    b = rng.rand(32, 32, 3).astype("f")
+    assert model(a, a) == 0.0
+    assert model(a, b) > 0
