@@ -66,9 +66,9 @@ class CLIPVisionTower:
                                  nn.initializers.normal(0.02),
                                  (x.shape[1], c.hidden))
                 x = x + pos
-                x = nn.LayerNorm(name="pre_ln")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name="pre_ln")(x)
                 for i in range(c.layers):
-                    h = nn.LayerNorm(name=f"ln1_{i}")(x)
+                    h = nn.LayerNorm(epsilon=1e-5, name=f"ln1_{i}")(x)
                     qkv_dim = c.hidden
                     q = nn.Dense(qkv_dim, name=f"q_{i}")(h)
                     k = nn.Dense(qkv_dim, name=f"k_{i}")(h)
@@ -83,12 +83,12 @@ class CLIPVisionTower:
                     o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
                     o = o.transpose(0, 2, 1, 3).reshape(b, L, c.hidden)
                     x = x + nn.Dense(c.hidden, name=f"attn_out_{i}")(o)
-                    h = nn.LayerNorm(name=f"ln2_{i}")(x)
+                    h = nn.LayerNorm(epsilon=1e-5, name=f"ln2_{i}")(x)
                     h = nn.Dense(c.intermediate, name=f"fc1_{i}")(h)
                     h = (h * jax.nn.sigmoid(1.702 * h) if c.quick_gelu
                          else nn.gelu(h, approximate=False))
                     x = x + nn.Dense(c.hidden, name=f"fc2_{i}")(h)
-                cls_out = nn.LayerNorm(name="post_ln")(x[:, 0])
+                cls_out = nn.LayerNorm(epsilon=1e-5, name="post_ln")(x[:, 0])
                 return nn.Dense(c.proj_dim, use_bias=False,
                                 name="proj")(cls_out)
 
