@@ -52,7 +52,7 @@ class _Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, mask=None):
         context = x if context is None else context
         b, l, _ = x.shape
         lc = context.shape[1]
@@ -60,9 +60,22 @@ class _Attention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        out = multi_head_attention(q.reshape(b, l, self.heads, hd),
-                                   k.reshape(b, lc, self.heads, hd),
-                                   v.reshape(b, lc, self.heads, hd))
+        if mask is not None:
+            # voxel-locality masked attention (turbo multiview mode,
+            # reference modules.py:206-237): plain XLA with an additive bias
+            qh = q.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3)
+            kh = k.reshape(b, lc, self.heads, hd).transpose(0, 2, 1, 3)
+            vh = v.reshape(b, lc, self.heads, hd).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32)
+            logits = logits / jnp.sqrt(hd)
+            logits = jnp.where(mask[:, None], logits, -1e9)
+            w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", w, vh).transpose(0, 2, 1, 3)
+        else:
+            out = multi_head_attention(q.reshape(b, l, self.heads, hd),
+                                       k.reshape(b, lc, self.heads, hd),
+                                       v.reshape(b, lc, self.heads, hd))
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                         name="to_out")(out.reshape(b, l, self.dim))
 
@@ -91,7 +104,7 @@ class _Block2p5D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, n_views: int, mode: str, ref_bank,
-                 ref_scale, mva_scale):
+                 ref_scale, mva_scale, mva_masks=None):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
         h = ln("norm1")(x)
 
@@ -115,12 +128,15 @@ class _Block2p5D(nn.Module):
                             name="attn_refview")(h, bank)
             x = x + ref_scale * ra
 
-        # 1.3 multiview attention: all views jointly
+        # 1.3 multiview attention: all views jointly; in turbo mode a
+        # voxel-locality mask (keyed by joint token count) restricts it to
+        # spatially-near tokens (reference modules.py:302-402)
         if n_views > 1:
             b = x.shape[0] // n_views
             hm = h.reshape(b, n_views * h.shape[1], self.dim)
+            mask = None if mva_masks is None else mva_masks.get(hm.shape[1])
             ma = _Attention(self.dim, self.heads, dtype=self.dtype,
-                            name="attn_multiview")(hm)
+                            name="attn_multiview")(hm, mask=mask)
             ma = ma.reshape(b * n_views, h.shape[1], self.dim)
             x = x + mva_scale * ma
 
@@ -143,7 +159,7 @@ class _Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, n_views, mode, ref_bank, ref_scale,
-                 mva_scale):
+                 mva_scale, mva_masks=None):
         b, hh, ww, c = x.shape
         res = x
         h = _gn(x, "norm")
@@ -155,7 +171,8 @@ class _Transformer2D(nn.Module):
                 ref_bank[f"block_{i}"]["kv"][0]
             h = _Block2p5D(self.dim, self.heads, self.context_dim,
                            self.dtype, name=f"block_{i}")(
-                h, context, n_views, mode, bank, ref_scale, mva_scale)
+                h, context, n_views, mode, bank, ref_scale, mva_scale,
+                mva_masks=mva_masks)
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
             h.reshape(b, hh, ww, self.dim))
         return h + res
@@ -203,7 +220,7 @@ class UNet2p5D(nn.Module):
     @nn.compact
     def __call__(self, x, t, context, camera_ids=None, n_views: int = 1,
                  mode: str = "", ref_bank=None, ref_scale=1.0,
-                 mva_scale=1.0):
+                 mva_scale=1.0, mva_masks=None):
         ch0 = self.block_channels[0]
         temb_dim = ch0 * 4
 
@@ -221,7 +238,7 @@ class UNet2p5D(nn.Module):
             temb = temb + cam.astype(temb.dtype)
 
         kw = dict(n_views=n_views, mode=mode, ref_scale=ref_scale,
-                  mva_scale=mva_scale)
+                  mva_scale=mva_scale, mva_masks=mva_masks)
 
         def tf(ch, name, h):
             # read side of the reference bank: the sown tree from the 'w'

@@ -86,6 +86,36 @@ def main(argv=None):
     print(f"throughput: {b / med:.1f} samples/s "
           f"({args.batch / med:.1f} samples/s/chip x {n_dev} devices)")
 
+    # MFU from an analytic flop count (XLA's cost analysis cannot see inside
+    # the Pallas attention custom calls). Model flops use the standard
+    # fwd + 2x-bwd convention (frozen DINO is forward-only); the hardware
+    # additionally replays the remat recompute, reported separately.
+    C, L, H = 768, 324, 12
+    S = t_frames * L
+    D = 64
+    mlp = 4
+    # alternating stack (8 global + 8 local blocks)
+    proj = 4 * 2 * b * S * C * C          # qkvo per block
+    ffn = 2 * 2 * b * S * C * C * mlp     # fc1+fc2 per block
+    attn_g = 4 * b * H * S * S * D        # QK^T + PV, global
+    attn_l = 4 * b * H * t_frames * L * L * D
+    fwd_alt = 8 * (2 * (proj + ffn) + attn_g + attn_l)
+    # frozen DINO ViT-B over b*t frames (257 tokens), forward only
+    toks = b * t_frames * 257
+    fwd_dino = 12 * (4 * 2 * toks * C * C + 2 * 2 * toks * C * C * mlp
+                     + 4 * b * t_frames * H * 257 * 257 * D)
+    # decoder: per frame cross-attn block (qkvo+ffn over n points) + head
+    fwd_dec = t_frames * (2 * 2 * b * n * C * C + 2 * 2 * b * n * C * C * mlp
+                          + 2 * b * n * C * C)
+    fwd_enc = 2 * 2 * b * s * C * C  # shape-encoder projections (approx)
+    fwd = fwd_alt + fwd_dino + fwd_dec + fwd_enc
+    model_flops = 3 * (fwd - fwd_dino) + fwd_dino  # frozen encoder: fwd only
+    hw_flops = model_flops + (fwd_alt + fwd_dec)   # + remat recompute
+    peak = 197e12 * n_dev
+    print(f"MFU: {model_flops / med / peak * 100:.1f}% model "
+          f"({model_flops / 1e12:.0f} TFLOP/step; "
+          f"{hw_flops / med / peak * 100:.1f}% incl. remat recompute)")
+
 
 if __name__ == "__main__":
     main()

@@ -192,3 +192,62 @@ def test_unwrap_lscm_atlas_valid():
         (tri[:, 1, 0] - tri[:, 0, 0]) * (tri[:, 2, 1] - tri[:, 0, 1])
         - (tri[:, 2, 0] - tri[:, 0, 0]) * (tri[:, 1, 1] - tri[:, 0, 1])).sum()
     assert area > 0.05
+
+
+def test_unet_turbo_voxel_mask():
+    """Multiview attention honours voxel-locality masks: an all-True mask is
+    a no-op, a block-diagonal (per-view only) mask changes the output."""
+    import jax
+    import jax.numpy as jnp
+    from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
+    import numpy as np
+
+    unet = UNet2p5D(block_channels=(8, 16), layers_per_block=1,
+                    context_dim=16, head_dim=4, dtype=jnp.float32)
+    n_views, hw = 2, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (n_views, hw, hw, 12)) * 0.1
+    t = jnp.zeros((n_views,))
+    ctx = jnp.zeros((n_views, 4, 16))
+    params = jax.jit(lambda k: unet.init(k, x, t, ctx, None, n_views,
+                                         ""))(jax.random.PRNGKey(1))
+
+    # token counts at each attention resolution: n_views * (hw/ds)^2
+    masks_true = {}
+    masks_diag = {}
+    for ds in (1, 2):
+        L = (hw // ds) ** 2
+        tok = n_views * L
+        masks_true[tok] = jnp.ones((1, tok, tok), bool)
+        eye = jnp.kron(jnp.eye(n_views, dtype=jnp.int32),
+                       jnp.ones((L, L), jnp.int32)).astype(bool)
+        masks_diag[tok] = eye[None]
+
+    base = unet.apply(params, x, t, ctx, None, n_views, "")
+    same = unet.apply(params, x, t, ctx, None, n_views, "",
+                      mva_masks=masks_true)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same),
+                               atol=2e-5, rtol=2e-3)
+    diag = unet.apply(params, x, t, ctx, None, n_views, "",
+                      mva_masks=masks_diag)
+    assert not np.allclose(np.asarray(base), np.asarray(diag), atol=1e-4)
+
+
+def test_voxel_mask_from_hierarchy_positions():
+    """voxel_grid_mask consumes the same position maps build_hierarchy does:
+    near cells attend, far cells do not."""
+    import numpy as np
+    from motion324_tpu.hy3dgen.voxel_attention import voxel_grid_mask
+    h = 32
+    pos = np.ones((1, 2, h, h, 3), np.float32)  # background = 1
+    # view 0: object at origin corner; view 1: same region -> should attend
+    pos[0, 0, :16, :16] = 0.1
+    pos[0, 1, :16, :16] = 0.12
+    mask = np.asarray(voxel_grid_mask(pos, grid_resolution=4))
+    l = 16  # 4x4 cells
+    cross = mask[0, :l, l:]  # view0 -> view1 block
+    assert cross.any()       # overlapping regions attend across views
+    # far-apart content does not
+    pos2 = pos.copy()
+    pos2[0, 1, :16, :16] = 0.9
+    mask2 = np.asarray(voxel_grid_mask(pos2, grid_resolution=4))
+    assert mask2[0, :l, l:].sum() < cross.sum()
