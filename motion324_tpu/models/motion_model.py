@@ -88,28 +88,34 @@ class ModelConfig:
 
 
 class AlternatingPair(nn.Module):
-    """One (global, local) attention pair over (B, T, L, C) frame tokens.
+    """One (global, local) attention pair over FLAT (B, T*L, C) frame tokens.
 
     Global attends over all T*L tokens, local within each frame's L tokens
     (reference model/Pcd_motion.py:394-429). Stacked via ``stack_blocks``.
+    The carry stays flat: under ``nn.scan`` + remat the per-layer inputs are
+    SAVED by stacking the carry, and a flat contiguous carry avoids the
+    transposing saves XLA emits for the (B, T, L, C) layout (~0.4 s/step at
+    the dyscene shapes). ``frame_tokens`` (L) recovers the frame structure.
     """
 
     dim: int
     head_dim: int
     use_qk_norm: bool
     dtype: Any
+    frame_tokens: int = 324
     attn_backend: str | None = None
 
     @nn.compact
     def __call__(self, x):
-        b, t, l, d = x.shape
+        b, s, d = x.shape
+        l = self.frame_tokens
+        t = s // l
         kw = dict(dim=self.dim, head_dim=self.head_dim,
                   use_qk_norm=self.use_qk_norm, dtype=self.dtype,
                   attn_backend=self.attn_backend)
-        x = TransformerBlock(**kw, name="global")(
-            x.reshape(b, t * l, d)).reshape(b, t, l, d)
+        x = TransformerBlock(**kw, name="global")(x)
         x = TransformerBlock(**kw, name="local")(
-            x.reshape(b * t, l, d)).reshape(b, t, l, d)
+            x.reshape(b * t, l, d)).reshape(b, s, d)
         return x
 
 
@@ -185,9 +191,11 @@ class MotionLatentModel(nn.Module):
                                      dtype=c.dtype, name="image_encoder")
 
         n_pairs = c.n_alternating_layers // 2
+        grid = c.image_size // c.patch_size
+        self.frame_tokens = 4 + c.tokens + grid * grid  # [special|mesh|image]
         self.alternating_blocks = stack_blocks(
             AlternatingPair, n_pairs, remat=c.remat, name="alternating_blocks",
-            **kw)
+            frame_tokens=self.frame_tokens, **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
         self.input_layernorm = nn.LayerNorm(use_bias=False, epsilon=1e-5,
@@ -270,8 +278,10 @@ class MotionLatentModel(nn.Module):
         tokens = jnp.concatenate([special, mesh_rep, video_tokens], axis=2)
         tokens = self.input_layernorm(tokens)
 
-        x = self.alternating_blocks(tokens)
-        return x[:, :, 4:4 + c.tokens, :]
+        # flat carry through the scanned pairs (layout-natural remat saves)
+        l = self.frame_tokens
+        x = self.alternating_blocks(tokens.reshape(b, t * l, c.feat_dim))
+        return x.reshape(b, t, l, c.feat_dim)[:, :, 4:4 + c.tokens, :]
 
     def decode_points(self, pcd_tokens, pcd, normals, rgbs):
         """Per-frame tokens + query points -> (B, T, N, 3) positions.

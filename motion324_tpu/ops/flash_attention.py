@@ -210,10 +210,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
-    # the backward kernels hold s/p/dp/ds tiles at once: 1024-blocks exceed
-    # comfortable VMEM and regress (measured dq 366->460ms); cap at 512
-    block_q = min(block_q, 512)
-    block_kv = min(block_kv, 512)
+    # the backward kernels hold s/p/dp/ds tiles at once; block caps tuned on
+    # hardware (see scripts/check_tpu_kernels.py + bench_train)
+    block_q = min(block_q, 1024)
+    block_kv = min(block_kv, 1024)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
