@@ -83,10 +83,18 @@ class Trainer:
         log(f"model initialised: {n_params/1e6:.2f}M params")
         return TrainState.create(params, self.tx)
 
+    @staticmethod
+    def _arrays_only(batch):
+        """Drop metadata leaves (e.g. the dataset's ``obj_name`` strings)
+        before anything jitted sees the batch."""
+        return {k: v for k, v in batch.items()
+                if isinstance(v, (np.ndarray, jax.Array))}
+
     def _put(self, batch):
         """Host batch -> globally sharded device arrays (multi-host aware:
         each process contributes its local shard of the global batch)."""
         from motion324_tpu.parallel.distributed import global_batch_from_local
+        batch = self._arrays_only(batch)
         if self.accum > 1:
             batch = jax.tree.map(
                 lambda x: x.reshape(self.accum, x.shape[0] // self.accum,
@@ -144,6 +152,7 @@ class Trainer:
         return state
 
     def _example(self, batch):
+        batch = self._arrays_only(batch)
         if self.accum > 1:
             return jax.tree.map(
                 lambda x: x[: x.shape[0] // self.accum], batch)
