@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["color_recorrection", "delight_image"]
+__all__ = ["color_recorrection", "delight_image", "DelightDiffusion"]
 
 
 def color_recorrection(edited: np.ndarray, original: np.ndarray,
@@ -58,3 +58,125 @@ def delight_image(image: np.ndarray, mask: np.ndarray | None = None,
         gain = np.clip(smooth.mean() / np.maximum(smooth, 1e-3), 0.5, 2.0)
         edited = np.clip(image * gain[..., None], 0.0, 1.0)
     return color_recorrection(edited, image, mask)
+
+
+class DelightDiffusion:
+    """InstructPix2Pix-class diffusion delighter (the reference's
+    ``Light_Shadow_Remover`` backbone, dehighlight_utils.py:22-110).
+
+    Reuses the framework's SD UNet at an 8-channel ``conv_in`` (4 noisy
+    latent + 4 image-condition latent channels — the IP2P layout) with
+    3-way classifier-free guidance over (text+image, image-only,
+    unconditional) and Euler-Ancestral sampling; the conditioning "prompt"
+    is a learned embedding like HunyuanPaint's. Matches the
+    :func:`delight_image` ``editor`` interface, and the per-channel color
+    recorrection is still applied by the caller.
+    """
+
+    def __init__(self, params: dict, *, image_size: int = 512,
+                 text_len: int = 77, context_dim: int = 1024, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
+        from motion324_tpu.hy3dgen.sd_vae import SCALING_FACTOR, AutoencoderKL
+
+        dtype = dtype or jnp.bfloat16
+        self.image_size = image_size
+        self.unet = UNet2p5D(in_channels=8, dtype=dtype,
+                             context_dim=context_dim)
+        self.vae = AutoencoderKL(dtype=dtype)
+        self.params = params
+        self.text_len = text_len
+        self.context_dim = context_dim
+
+        @jax.jit
+        def _encode(vae_params, img):
+            mean, _ = self.vae.apply(vae_params, img,
+                                     method=AutoencoderKL.encode)
+            return mean * SCALING_FACTOR
+
+        @jax.jit
+        def _decode(vae_params, z):
+            return self.vae.apply(vae_params, z / SCALING_FACTOR,
+                                  method=AutoencoderKL.decode)
+
+        @jax.jit
+        def _step(unet_params, noisy, img_lat, text, t, sigma, sigma_next,
+                  noise, guidance_txt, guidance_img):
+            scale_in = 1.0 / jnp.sqrt(sigma ** 2 + 1.0)
+            # IP2P 3-way CFG: (text+image, image-only, unconditional)
+            x3 = jnp.concatenate([noisy, noisy, noisy], 0) * scale_in
+            cond3 = jnp.concatenate(
+                [img_lat, img_lat, jnp.zeros_like(img_lat)], 0)
+            ctx3 = jnp.concatenate([text, jnp.zeros_like(text),
+                                    jnp.zeros_like(text)], 0)
+            x_in = jnp.concatenate([x3, cond3], axis=-1)
+            tt = jnp.full((3,), t, jnp.float32)
+            eps = self.unet.apply(unet_params, x_in, tt, ctx3, None, 1, "")
+            e_ti, e_i, e_u = jnp.split(eps, 3, axis=0)
+            e = e_u + guidance_img * (e_i - e_u) + guidance_txt * (e_ti - e_i)
+            x0 = noisy - sigma * e
+            s2, sn2 = sigma ** 2, sigma_next ** 2
+            up = jnp.sqrt(jnp.maximum(sn2 * (s2 - sn2) /
+                                      jnp.maximum(s2, 1e-12), 0.0))
+            down = jnp.sqrt(jnp.maximum(sn2 - up ** 2, 0.0))
+            d = (noisy - x0) / jnp.maximum(sigma, 1e-12)
+            return x0 + d * down + noise * up
+
+        self._encode = _encode
+        self._decode = _decode
+        self._step = _step
+
+    @classmethod
+    def init_random(cls, key=None, *, image_size: int = 64, **kw):
+        import jax
+        import jax.numpy as jnp
+        key = jax.random.PRNGKey(0) if key is None else key
+        k1, k2, k3 = jax.random.split(key, 3)
+        self = cls({}, image_size=image_size, context_dim=64, **kw)
+        self.unet = type(self.unet)(in_channels=8, context_dim=64,
+                                    block_channels=(32, 64),
+                                    layers_per_block=1, head_dim=8,
+                                    dtype=jnp.float32)
+        lat = image_size // 8
+        unet_params = jax.jit(lambda k: self.unet.init(
+            k, jnp.zeros((1, lat, lat, 8)), jnp.zeros((1,)),
+            jnp.zeros((1, self.text_len, 64)), None, 1, ""))(k1)
+        vae_params = jax.jit(lambda k: self.vae.init(
+            k, jnp.zeros((1, image_size, image_size, 3))))(k2)
+        self.params = {"unet": unet_params, "vae": vae_params,
+                       "text": jax.random.normal(
+                           k3, (1, self.text_len, 64)) * 0.02}
+        return self
+
+    def __call__(self, image, *, num_steps: int = 20,
+                 guidance_txt: float = 1.5, guidance_img: float = 1.0,
+                 seed: int = 0):
+        import cv2
+        import jax
+        import jax.numpy as jnp
+        from motion324_tpu.hy3dgen.paint_diffusion import sd_sigmas
+
+        h0, w0 = np.asarray(image).shape[:2]
+        img = cv2.resize(np.asarray(image, np.float32),
+                         (self.image_size, self.image_size),
+                         interpolation=cv2.INTER_AREA)
+        img_lat = self._encode(self.params["vae"], jnp.asarray(img)[None] * 2 - 1)
+        text = jnp.asarray(self.params["text"])
+
+        timesteps, sigmas = sd_sigmas(num_steps)
+        key = jax.random.PRNGKey(seed)
+        key, k0 = jax.random.split(key)
+        x = jax.random.normal(k0, img_lat.shape) * sigmas[0]
+        for i in range(num_steps):
+            key, kn = jax.random.split(key)
+            noise = jax.random.normal(kn, x.shape)
+            x = self._step(self.params["unet"], x, img_lat, text,
+                           float(timesteps[i]), float(sigmas[i]),
+                           float(sigmas[i + 1]), noise,
+                           float(guidance_txt), float(guidance_img))
+        out = np.clip((np.asarray(self._decode(self.params["vae"], x))[0]
+                       + 1) / 2, 0, 1)
+        if (h0, w0) != out.shape[:2]:
+            out = cv2.resize(out, (w0, h0), interpolation=cv2.INTER_CUBIC)
+        return out

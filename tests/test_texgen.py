@@ -251,3 +251,20 @@ def test_voxel_mask_from_hierarchy_positions():
     pos2[0, 1, :16, :16] = 0.9
     mask2 = np.asarray(voxel_grid_mask(pos2, grid_resolution=4))
     assert mask2[0, :l, l:].sum() < cross.sum()
+
+
+def test_delight_diffusion_editor_interface():
+    """IP2P-class delighter: runs end-to-end at tiny dims, plugs into
+    delight_image as the editor, and is image-conditioned (different inputs
+    give different edits)."""
+    import numpy as np
+    from motion324_tpu.hy3dgen.delight import DelightDiffusion, delight_image
+    ed = DelightDiffusion.init_random(image_size=32)
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 40, 3).astype(np.float32)
+    out = delight_image(img, editor=lambda im: ed(im, num_steps=2))
+    assert out.shape == img.shape
+    assert np.isfinite(out).all() and 0 <= out.min() and out.max() <= 1
+    e1 = ed(img, num_steps=2, seed=0)
+    e2 = ed(rng.rand(40, 40, 3).astype(np.float32), num_steps=2, seed=0)
+    assert not np.allclose(e1, e2)
