@@ -113,8 +113,12 @@ class AlternatingPair(nn.Module):
         kw = dict(dim=self.dim, head_dim=self.head_dim,
                   use_qk_norm=self.use_qk_norm, dtype=self.dtype,
                   attn_backend=self.attn_backend)
-        x = TransformerBlock(**kw, name="global")(x)
-        x = TransformerBlock(**kw, name="local")(
+        # only the GLOBAL attention output is named for the selective remat
+        # policy: it is the expensive recompute (long-sequence flash kernel);
+        # local attention recomputes cheaply and saving both OOMs at batch 32
+        x = TransformerBlock(**kw, attn_save_name="gattn_out",
+                             name="global")(x)
+        x = TransformerBlock(**kw, attn_save_name="lattn_out", name="local")(
             x.reshape(b * t, l, d)).reshape(b, s, d)
         return x
 

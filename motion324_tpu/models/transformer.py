@@ -18,6 +18,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from motion324_tpu.ops.attention import multi_head_attention
 
@@ -26,7 +27,7 @@ __all__ = ["RMSNorm", "MLP", "SelfAttention", "CrossAttention",
 
 
 def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
-                 **block_kwargs):
+                 remat_policy: str | None = None, **block_kwargs):
     """Stack ``length`` identical blocks via ``nn.scan`` (weights differ per
     layer, the LAYER PROGRAM is compiled once).
 
@@ -36,8 +37,22 @@ def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
     checkpoint converter stacks per-layer weights accordingly). ``remat``
     wraps the block in ``nn.remat`` (the jax.checkpoint analogue of the
     reference's torch.utils.checkpoint layer groups, model/Pcd_motion.py:375-448).
+
+    ``remat_policy='save_attn'`` keeps the NAMED attention outputs resident
+    instead of recomputing them in the backward. On an ISOLATED 2-block
+    microbench this is 4.4x faster fwd+bwd, but in the full dyscene step the
+    extra ~1.5-3 GB of saved activations pushes the 15.75 GB chip into worse
+    scheduling and the step REGRESSES (4.17 -> 4.43 s) — hence default None
+    (full remat). Revisit on larger-HBM parts or smaller per-chip batches.
     """
-    inner_cls = nn.remat(block_cls, prevent_cse=False) if remat else block_cls
+    if remat and remat_policy == "save_attn":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "gattn_out")
+        inner_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
+    elif remat:
+        inner_cls = nn.remat(block_cls, prevent_cse=False)
+    else:
+        inner_cls = block_cls
 
     class _Body(nn.Module):
         @nn.compact
@@ -101,6 +116,7 @@ class SelfAttention(nn.Module):
     fc_bias: bool = False
     dtype: Dtype = jnp.float32
     attn_backend: str | None = None
+    attn_save_name: str = "attn_out"  # checkpoint_name for selective remat
 
     @nn.compact
     def __call__(self, x):
@@ -116,6 +132,7 @@ class SelfAttention(nn.Module):
             q = RMSNorm(name="q_norm")(q)
             k = RMSNorm(name="k_norm")(k)
         out = multi_head_attention(q, k, v, backend=self.attn_backend)
+        out = checkpoint_name(out, self.attn_save_name)
         out = out.reshape(b, l, self.dim)
         return nn.Dense(self.dim, use_bias=self.fc_bias, dtype=self.dtype,
                         name="fc")(out)
@@ -150,6 +167,7 @@ class CrossAttention(nn.Module):
             q = RMSNorm(name="q_norm")(q)
             k = RMSNorm(name="k_norm")(k)
         out = multi_head_attention(q, k, v, backend=self.attn_backend)
+        out = checkpoint_name(out, "xattn_out")  # selective-remat save point
         out = out.reshape(b, lq, self.dim)
         return nn.Dense(self.dim, use_bias=self.fc_bias, dtype=self.dtype,
                         name="fc")(out)
@@ -165,12 +183,15 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_backend: str | None = None
 
+    attn_save_name: str = "attn_out"
+
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
                          name="norm1")(x)
         x = x + SelfAttention(self.dim, self.head_dim, self.use_qk_norm,
                               dtype=self.dtype, attn_backend=self.attn_backend,
+                              attn_save_name=self.attn_save_name,
                               name="attn")(h)
         h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
                          name="norm2")(x)
