@@ -58,13 +58,25 @@ def _tree_select(pred, a, b):
 
 
 def build_train_step(model, tx, cfg, mesh,
-                     loss_fn: Callable | None = None):
+                     loss_fn: Callable | None = None,
+                     mode: str = "shard_map"):
     """Returns ``step_fn(state, batch, rng) -> (state, metrics)`` (jitted).
 
     ``batch`` is a global array pytree with leading axis
     ``grad_accum_steps * global_batch`` (sharded over dp by the caller via
     ``parallel.batch_sharding``).
+
+    ``mode``:
+      - ``'shard_map'`` (default): explicit per-device step with ``lax.pmean``
+        over ``dp`` — the direct DDP analogue; ``mp`` must be 1.
+      - ``'gspmd'``: one global program under ``jax.jit`` with tensor-parallel
+        parameter shardings over ``mp`` (:mod:`motion324_tpu.parallel.tp`) and
+        the batch over ``dp``; the GSPMD partitioner inserts all collectives.
+        Identical semantics (global NaN/spike skip falls out of the single
+        global loss).
     """
+    if mode == "gspmd":
+        return _build_gspmd_step(model, tx, cfg, mesh, loss_fn)
     t = cfg.training
     clip = float(t.grad_clip_norm)
     spike = float(t.get("allowed_gradnorm_factor", 5)) * clip
@@ -140,3 +152,70 @@ def build_train_step(model, tx, cfg, mesh,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=0)
+
+
+def _build_gspmd_step(model, tx, cfg, mesh, loss_fn: Callable | None = None):
+    """Tensor+data-parallel step: params sharded over ``mp``, batch over
+    ``dp``, collectives inserted by the GSPMD partitioner."""
+    from jax.sharding import NamedSharding
+    from motion324_tpu.parallel.tp import _spec_for
+
+    t = cfg.training
+    clip = float(t.grad_clip_norm)
+    spike = float(t.get("allowed_gradnorm_factor", 5)) * clip
+    weight = float(t.get("coord_mse_loss_weight", 1.0))
+
+    if loss_fn is None:
+        def loss_fn(params, batch, rng):
+            pred = model.apply(params, batch, train=True,
+                               rngs={"dropout": rng})
+            return coord_mse_loss(pred, batch["point_clouds"], weight)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        grads = jax.tree.map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e-6, neginf=-1e-6),
+            grads)
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & (gnorm <= spike)
+        scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        clipped = jax.tree.map(lambda g: g * scale, grads)
+        updates, new_opt = tx.update(clipped, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            update_step=state.update_step + ok.astype(jnp.int32),
+            params=_tree_select(ok, new_params, state.params),
+            opt_state=_tree_select(ok, new_opt, state.opt_state),
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        return new_state, metrics
+
+    def state_shardings(state):
+        specs = jax.tree_util.tree_map_with_path(_spec_for, state)
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+
+    def make(state):
+        """Bind shardings to a concrete state structure and jit."""
+        ss = state_shardings(state)
+        bs = NamedSharding(mesh, P("dp"))
+        return jax.jit(step,
+                       in_shardings=(ss, bs, NamedSharding(mesh, P())),
+                       out_shardings=(ss, NamedSharding(mesh, P())),
+                       donate_argnums=0)
+
+    cache: dict = {}
+
+    def step_fn(state, batch, rng):
+        key = jax.tree_util.tree_structure(state)
+        if key not in cache:
+            cache[key] = make(state)
+        return cache[key](state, batch, rng)
+
+    step_fn.state_shardings = state_shardings  # for device_put at init
+    return step_fn
