@@ -83,15 +83,26 @@ def to_blender_coords(trajs: np.ndarray) -> np.ndarray:
 
 
 class MotionPipeline:
-    """Holds jitted encode/decode programs for repeated clip inference."""
+    """Holds jitted encode/decode programs for repeated clip inference.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with an ``mp`` axis — parameters
+    are sharded tensor-parallel (:mod:`motion324_tpu.parallel.tp`) and the
+    encode/decode programs run partitioned across chips (GSPMD inserts the
+    collectives); single-chip behaviour is unchanged when ``mesh`` is None.
+    """
 
     def __init__(self, cfg: ModelConfig, params, window: int = 12,
-                 decode_chunk: int = DECODE_CHUNK):
+                 decode_chunk: int = DECODE_CHUNK, mesh=None):
         self.cfg = cfg
         self.model = MotionLatentModel(cfg)
-        self.params = params
         self.window = window
         self.decode_chunk = decode_chunk
+        self.mesh = mesh
+
+        if mesh is not None and mesh.shape.get("mp", 1) >= 1:
+            from motion324_tpu.parallel.tp import tp_shardings
+            params = jax.device_put(params, tp_shardings(params, mesh))
+        self.params = params
 
         model = self.model
 

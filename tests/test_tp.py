@@ -88,3 +88,25 @@ def test_gspmd_tp_step_matches_shard_map_dp():
     b_ = np.asarray(jax.tree.leaves(st_tp.params)[0])
     np.testing.assert_allclose(a, b_, atol=2e-5, rtol=2e-5)
     assert int(st_tp.step) == 1
+
+
+def test_tp_inference_pipeline_matches_single_device():
+    """MotionPipeline over a (1, mp=8) mesh produces the same trajectories as
+    the unsharded pipeline."""
+    from motion324_tpu.inference.pipeline import MotionPipeline
+    model = MotionLatentModel(SMALL)
+    batch = _batch(jax.random.PRNGKey(3), b=1)
+    params = jax.jit(model.init)(jax.random.PRNGKey(4), batch)
+
+    inputs = {k: np.asarray(v) for k, v in batch.items()
+              if k != "point_clouds"}
+    video = np.asarray(batch["rgb_video"][0])
+
+    pipe_1 = MotionPipeline(SMALL, params, window=2, decode_chunk=8)
+    ref = pipe_1.predict(inputs, video)
+
+    mesh = make_mesh(dp=1, mp=8)
+    pipe_tp = MotionPipeline(SMALL, params, window=2, decode_chunk=8,
+                             mesh=mesh)
+    out = pipe_tp.predict(inputs, video)
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
