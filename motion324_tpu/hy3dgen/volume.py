@@ -44,6 +44,32 @@ def _decode_chunks(query_fn, params, processed_latents, points_padded,
     return jax.lax.map(one, chunks).reshape(-1)
 
 
+def _flat_to_points(flat_idx, r: int, box_v: float):
+    """flat grid indices (int32) -> (..., 3) coordinates, in-graph."""
+    x = flat_idx // (r * r)
+    y = (flat_idx // r) % r
+    z = flat_idx % r
+    step = 2.0 * box_v / (r - 1)
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.float32) * step - box_v
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _decode_grid(query_fn, params, processed_latents, resolution: int,
+                 box_v: float, chunk: int):
+    """Dense (R+1)^3 sweep with points GENERATED ON DEVICE (uploading a
+    host-built 385^3 point grid costs ~680 MB over the link)."""
+    r = resolution + 1
+    n = r * r * r
+    n_chunks = -(-n) // chunk if n % chunk == 0 else (n + chunk - 1) // chunk
+
+    def one(i):
+        flat = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        pts = _flat_to_points(jnp.minimum(flat, n - 1), r, box_v)
+        return query_fn(params, pts[None], processed_latents)[0]
+
+    return jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32)).reshape(-1)
+
+
 def decode_volume(query_fn, params, processed_latents, resolution: int = 384,
                   box_v: float = 1.01, chunk: int = 8192) -> np.ndarray:
     """Dense grid decode -> (R+1, R+1, R+1) float32 logits.
@@ -51,16 +77,27 @@ def decode_volume(query_fn, params, processed_latents, resolution: int = 384,
     ``query_fn(params, points (1, N, 3), latents) -> (1, N)`` is the jittable
     VAE query function.
     """
-    pts = make_grid(resolution, box_v)
-    n = len(pts)
-    pad = (-n) % chunk
-    if pad:
-        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-    logits = _decode_chunks(query_fn, params, processed_latents,
-                            jnp.asarray(pts), chunk)
     r = resolution + 1
+    n = r * r * r
+    logits = _decode_grid(query_fn, params, processed_latents, resolution,
+                          float(box_v), chunk)
     return np.asarray(logits[:n], np.float32).reshape(r, r, r)
 
+
+
+
+def _host_trilinear(coarse: np.ndarray, r: int) -> np.ndarray:
+    """(c, c, c) -> (r, r, r) trilinear upsample on host (scipy.ndimage)."""
+    from scipy.ndimage import zoom
+    c = coarse.shape[0]
+    out = zoom(np.asarray(coarse, np.float32), r / c, order=1,
+               mode="nearest", grid_mode=True)
+    # zoom can be off by one voxel on exact size; pad/crop defensively
+    if out.shape != (r, r, r):
+        out = out[:r, :r, :r]
+        pad = [(0, r - s) for s in out.shape]
+        out = np.pad(out, pad, mode="edge")
+    return np.ascontiguousarray(out, np.float32)
 
 def decode_volume_hierarchical(query_fn, params, processed_latents,
                                resolution: int = 384, box_v: float = 1.01,
@@ -79,28 +116,52 @@ def decode_volume_hierarchical(query_fn, params, processed_latents,
                            box_v, chunk)
 
     r = resolution + 1
-    # upsample coarse logits to the fine grid (trilinear)
-    fine_init = jax.image.resize(jnp.asarray(coarse), (r, r, r),
-                                 method="linear", antialias=False)
-    fine_init = np.array(fine_init, np.float32)  # writable host copy
+    # upsample coarse logits to the fine grid ON HOST (the coarse grid is a
+    # few MB; upsampling on device and copying the fine grid back costs a
+    # ~230 MB transfer, which dominates on tunneled-TPU links)
+    fine_init = _host_trilinear(coarse, r)
 
     # near-surface selection on the upsampled field itself (no grid-alignment
     # bookkeeping), dilated by one coarse cell of fine voxels
     from scipy.ndimage import binary_dilation
     mask = np.abs(fine_init) < band
-    mask = binary_dilation(mask, iterations=coarse_factor)
+    # the band is measured on the UPSAMPLED field, so the true surface is
+    # within ~half a coarse cell of it; dilate by that margin
+    mask = binary_dilation(mask, iterations=max(coarse_factor // 2, 1))
 
     idx = np.argwhere(mask)
     if len(idx) == 0:
         return fine_init
-    ax = np.linspace(-box_v, box_v, r, dtype=np.float32)
-    pts = np.stack([ax[idx[:, 0]], ax[idx[:, 1]], ax[idx[:, 2]]], axis=-1)
-    pad = (-len(pts)) % chunk
-    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-    logits = np.asarray(_decode_chunks(query_fn, params, processed_latents,
-                                       jnp.asarray(pts_p), chunk))[:len(pts)]
-    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits
+    # upload PACKED int32 flat indices (4 B/pt instead of 12 B of f32 coords);
+    # coordinates regenerate on device
+    flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]
+    logits = _refine_indices(query_fn, params, processed_latents,
+                             flat.astype(np.int32), r, float(box_v), chunk)
+    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits[:len(idx)]
     return fine_init
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _refine_run(query_fn, params, processed_latents, r, box_v, chunk, idx):
+    def one(ii):
+        pts = _flat_to_points(ii, r, box_v)
+        return query_fn(params, pts[None], processed_latents)[0]
+
+    return jax.lax.map(one, idx.reshape(-1, chunk)).reshape(-1)
+
+
+def _refine_indices(query_fn, params, processed_latents, flat_idx, r: int,
+                    box_v: float, chunk: int) -> np.ndarray:
+    # pad the chunk count to a power of two so repeated decodes with varying
+    # surface sizes reuse a handful of compiled programs
+    n_chunks = max((len(flat_idx) + chunk - 1) // chunk, 1)
+    n_chunks = 1 << (n_chunks - 1).bit_length()
+    pad = n_chunks * chunk - len(flat_idx)
+    if pad:
+        flat_idx = np.concatenate([flat_idx, np.zeros(pad, np.int32)])
+    out = _refine_run(query_fn, params, processed_latents, r, box_v, chunk,
+                      jnp.asarray(flat_idx))
+    return np.asarray(out, np.float32)
 
 
 def decode_volume_flashvdm(vae, params, processed_latents,
@@ -123,32 +184,17 @@ def decode_volume_flashvdm(vae, params, processed_latents,
     With ``topk >= num_latents`` this is exactly the hierarchical decode; the
     reference ships top-k at a fraction of the latent set for its turbo mode.
     """
-    import functools as _ft
-
-    @_ft.partial(jax.jit, static_argnums=(3,))
-    def _topk_chunks(params, lat, pts_padded, chunk):
-        chunks = pts_padded.reshape(-1, chunk, 3)
-
-        def one(pts):
-            return vae.apply(params, pts[None], lat, topk,
-                             method=type(vae).query_topk)[0]
-
-        return jax.lax.map(one, chunks).reshape(-1)
-
-    def query_fn(params, pts, lat):
-        return vae.apply(params, pts, lat, method=type(vae).query)
+    query_fn = _ft_partial_query(vae)
 
     coarse_res = max(resolution // coarse_factor, 16)
     coarse = decode_volume(query_fn, params, processed_latents, coarse_res,
                            box_v, chunk)
     r = resolution + 1
-    fine_init = jax.image.resize(jnp.asarray(coarse), (r, r, r),
-                                 method="linear", antialias=False)
-    fine_init = np.array(fine_init, np.float32)
+    fine_init = _host_trilinear(coarse, r)  # see decode_volume_hierarchical
 
     from scipy.ndimage import binary_dilation
     mask = np.abs(fine_init) < band
-    mask = binary_dilation(mask, iterations=coarse_factor)
+    mask = binary_dilation(mask, iterations=max(coarse_factor // 2, 1))
     idx = np.argwhere(mask)
     if len(idx) == 0:
         return fine_init
@@ -159,11 +205,27 @@ def decode_volume_flashvdm(vae, params, processed_latents,
     order = np.argsort(key, kind="stable")
     idx = idx[order]
 
-    ax = np.linspace(-box_v, box_v, r, dtype=np.float32)
-    pts = np.stack([ax[idx[:, 0]], ax[idx[:, 1]], ax[idx[:, 2]]], axis=-1)
-    pad = (-len(pts)) % chunk
-    pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-    logits = np.asarray(_topk_chunks(params, processed_latents,
-                                     jnp.asarray(pts_p), chunk))[:len(pts)]
-    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits
+    # packed flat-index upload + on-device coordinates (see _refine_indices)
+    flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]
+    logits = _refine_indices(_ft_partial_topk(vae, topk), params,
+                             processed_latents, flat.astype(np.int32), r,
+                             float(box_v), chunk)
+    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits[:len(idx)]
     return fine_init
+
+
+@functools.lru_cache(maxsize=None)
+def _ft_partial_query(vae):
+    """Module-level cached query fn: defining closures per decode call would
+    defeat jax.jit's cache and recompile every sweep."""
+    def query_fn(params, pts, lat):
+        return vae.apply(params, pts, lat, method=type(vae).query)
+    return query_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _ft_partial_topk(vae, topk: int):
+    def topk_fn(params, pts, lat):
+        return vae.apply(params, pts, lat, topk,
+                         method=type(vae).query_topk)
+    return topk_fn

@@ -23,13 +23,18 @@ __all__ = ["multi_head_attention", "mha_reference"]
 # KV length routing on TPU:
 #   >= _FLASH_MIN_KV          -> streaming flash kernel (online softmax)
 #   [_SHORT_MIN_KV, flash)    -> short-sequence kernel (KV resident in VMEM,
-#                                fused one-pass backward); XLA attention here
-#                                materialises (BH, S, S) f32 logits in HBM
+#                                fused one-pass backward) WHEN the whole
+#                                (Sq, Sk) logit tile fits VMEM; otherwise the
+#                                flash kernel streams Q blocks (e.g. the
+#                                volume decoder's 8192 queries x 512 latents).
+#                                XLA attention here would materialise
+#                                (BH, S, S) f32 logits in HBM
 #   < _SHORT_MIN_KV           -> plain XLA (tiny-KV cross attention: a kernel
 #                                schedule only adds overhead)
 _FLASH_MIN_KV = 1024
 _SHORT_MIN_KV = 128
 _SHORT_MIN_Q = 128
+_SHORT_MAX_AREA = 512 * 512  # max padded Sq*Sk logit elements per bh slice
 
 
 def mha_reference(q, k, v, *, scale: float | None = None):
@@ -68,12 +73,14 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
 
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
+        sq_p = -(-q.shape[1] // 128) * 128
+        sk_p = -(-k.shape[1] // 128) * 128
         if not on_tpu:
             backend = "xla"
         elif k.shape[1] >= _FLASH_MIN_KV:
             backend = "flash"
         elif k.shape[1] >= _SHORT_MIN_KV and q.shape[1] >= _SHORT_MIN_Q:
-            backend = "short"
+            backend = "short" if sq_p * sk_p <= _SHORT_MAX_AREA else "flash"
         else:
             backend = "xla"
 

@@ -171,7 +171,11 @@ def short_attention(q, k, v, *, scale: float | None = None,
         kf = jnp.pad(kf, ((0, 0), (0, sk_p - sk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, sk_p - sk), (0, 0)))
 
+    # VMEM guard: the kernel holds ~two (bb, Sq, Sk) f32 tiles; cap bb so they
+    # stay within ~6 MB (callers route larger shapes to the flash kernel)
     bb = block_bh
+    while bb > 1 and bb * sq_p * sk_p * 8 > 6 * 1024 * 1024:
+        bb //= 2
     while (b * h) % bb:
         bb //= 2
     o = _short_core(qf, kf, vf, sk, bb, interpret)
