@@ -71,7 +71,8 @@ class MultiviewDiffusion:
 
         @jax.jit
         def _step(unet_params, noisy, ctrl_lat, ref_lat, text_gen, text_ref,
-                  camera_ids, t, sigma, sigma_next, noise, guidance):
+                  camera_ids, t, sigma, sigma_next, noise, guidance,
+                  mva_masks=None):
             n_views = noisy.shape[0]
             scale_in = 1.0 / jnp.sqrt(sigma ** 2 + 1.0)
 
@@ -88,10 +89,10 @@ class MultiviewDiffusion:
             tt = jnp.full((n_views,), t, jnp.float32)
             eps_c = self.unet.apply(unet_params, x_in, tt, text_gen,
                                     camera_ids, n_views, "r", bank,
-                                    ref_scale=1.0)
+                                    ref_scale=1.0, mva_masks=mva_masks)
             eps_u = self.unet.apply(unet_params, x_in, tt, text_gen,
                                     camera_ids, n_views, "r", bank,
-                                    ref_scale=0.0)
+                                    ref_scale=0.0, mva_masks=mva_masks)
             eps = eps_u + guidance * (eps_c - eps_u)
 
             # Euler-Ancestral update
@@ -134,7 +135,8 @@ class MultiviewDiffusion:
     # ------------------------------------------------------------------ #
     def generate(self, ref_image: np.ndarray, control_images: np.ndarray,
                  camera_ids=None, num_steps: int = 30,
-                 guidance_scale: float = 3.0, seed: int = 0) -> np.ndarray:
+                 guidance_scale: float = 3.0, seed: int = 0,
+                 mva_masks=None) -> np.ndarray:
         """ref (H, W, 3), control (N, H, W, 6: normal+position) -> (N, H, W, 3)."""
         n_views, h, w, _ = control_images.shape
         ref_lat = self._encode(self.params["vae"],
@@ -163,18 +165,34 @@ class MultiviewDiffusion:
             x = self._step(self.params["unet"], x, ctrl, ref_lat, text_gen,
                            text_ref, camera_ids, float(timesteps[i]),
                            float(sigmas[i]), float(sigmas[i + 1]), noise,
-                           float(guidance_scale))
+                           float(guidance_scale), mva_masks=mva_masks)
         imgs = self._decode(self.params["vae"], x)
         return np.clip((np.asarray(imgs) + 1) / 2, 0, 1)
 
     # PaintPipeline synthesizer interface ------------------------------- #
-    def __call__(self, cond_image, views, renders):
+    def __call__(self, cond_image, views, renders, turbo: bool = False):
         control = np.stack([
             np.concatenate([(r["normal"] + 1) / 2, r["position"] + 0.5],
                            axis=-1) for r in renders])
         h = renders[0]["mask"].shape[0]
         import cv2
         ref = cv2.resize(cond_image, (h, h), interpolation=cv2.INTER_AREA)
+        mva_masks = self.turbo_masks(renders) if turbo else None
         imgs = self.generate(ref.astype(np.float32),
-                             control.astype(np.float32))
+                             control.astype(np.float32),
+                             mva_masks=mva_masks)
         return [img * r["mask"][..., None] for img, r in zip(imgs, renders)]
+
+    @staticmethod
+    def turbo_masks(renders, grid_resolutions=(32, 16, 8)):
+        """Voxel-locality multiview-attention masks from the views' position
+        maps (reference turbo mode, modules.py:302-402): masks are keyed by
+        joint token count and consumed by UNet2p5D's multiview attention."""
+        import jax.numpy as jnp
+        from motion324_tpu.hy3dgen.voxel_attention import multi_resolution_mask
+        pos = np.stack([r["position"] + 0.5 for r in renders])[None]
+        # background convention: voxel_attention treats exactly-1.0 as empty
+        mask_bg = ~np.stack([r["mask"] for r in renders])[None][..., None]
+        pos = np.where(mask_bg, 1.0, np.clip(pos, 0.0, 0.999))
+        return multi_resolution_mask(jnp.asarray(pos, jnp.float32),
+                                     grid_resolutions)

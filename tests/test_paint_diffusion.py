@@ -73,3 +73,36 @@ def test_multiview_diffusion_end_to_end_tiny():
     assert out.shape == (2, 32, 32, 3)
     assert np.isfinite(out).all()
     assert out.min() >= 0 and out.max() <= 1
+
+
+def test_turbo_masks_and_generation():
+    """Turbo mode: voxel masks derived from render position maps flow through
+    the multiview UNet; same latent-space token counts as the masks' keys."""
+    import numpy as np
+    from motion324_tpu.hy3dgen.paint_diffusion import MultiviewDiffusion
+    from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
+    pipe = MultiviewDiffusion.init_random(
+        image_size=64, context_dim=TINY_UNET["context_dim"],
+        unet=UNet2p5D(**TINY_UNET), vae=AutoencoderKL(**TINY_VAE))
+    h = 64
+    renders = []
+    for i in range(2):
+        normal = np.zeros((h, h, 3), np.float32)
+        position = np.full((h, h, 3), -0.25 + 0.5 * i, np.float32)
+        mask = np.zeros((h, h), bool)
+        mask[8:56, 8:56] = True
+        renders.append({"normal": normal, "position": position, "mask": mask})
+    masks = MultiviewDiffusion.turbo_masks(renders, grid_resolutions=(8, 4))
+    assert set(masks) == {2 * 64, 2 * 16}
+    # run the synthesizer with turbo masks end-to-end
+    cond = np.random.RandomState(0).rand(48, 48, 3).astype(np.float32)
+    views = [(0, 0, 1.0), (180, 0, 0.5)]
+    pipe_call = lambda: pipe.generate(
+        cond[:64, :64], np.stack([np.concatenate(
+            [(r["normal"] + 1) / 2, r["position"] + 0.5], -1)
+            for r in renders]).astype(np.float32),
+        num_steps=2, mva_masks=MultiviewDiffusion.turbo_masks(
+            renders, grid_resolutions=(8, 4)))
+    outs = pipe_call()
+    assert outs.shape == (2, h, h, 3)
+    assert np.isfinite(outs).all()
