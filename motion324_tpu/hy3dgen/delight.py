@@ -4,9 +4,9 @@ Capability slot for the reference's InstructPix2Pix-based
 ``Light_Shadow_Remover`` (reference:
 scripts/hy3dgen/texgen/utils/dehighlight_utils.py:22-110). Two parts:
 
-- a pluggable diffusion editor (the SD UNet in
-  :mod:`motion324_tpu.hy3dgen.sd_unet` can host converted InstructPix2Pix
-  weights in a later revision);
+- a pluggable diffusion editor: :class:`DelightDiffusion` hosts released
+  InstructPix2Pix checkpoints via :meth:`DelightDiffusion.from_diffusers`
+  (``motion324_tpu.utils.sd_convert`` maps the diffusers layout);
 - the per-channel color recorrection the reference ALWAYS applies afterwards
   (dehighlight_utils.py:38-66): re-match the edited image's per-channel
   mean/std to the original's over the foreground.
@@ -74,7 +74,8 @@ class DelightDiffusion:
     """
 
     def __init__(self, params: dict, *, image_size: int = 512,
-                 text_len: int = 77, context_dim: int = 1024, dtype=None):
+                 text_len: int = 77, context_dim: int = 1024, dtype=None,
+                 unet=None, vae=None):
         import jax
         import jax.numpy as jnp
         from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
@@ -82,9 +83,9 @@ class DelightDiffusion:
 
         dtype = dtype or jnp.bfloat16
         self.image_size = image_size
-        self.unet = UNet2p5D(in_channels=8, dtype=dtype,
-                             context_dim=context_dim)
-        self.vae = AutoencoderKL(dtype=dtype)
+        self.unet = unet or UNet2p5D(in_channels=8, dtype=dtype,
+                                     context_dim=context_dim)
+        self.vae = vae or AutoencoderKL(dtype=dtype)
         self.params = params
         self.text_len = text_len
         self.context_dim = context_dim
@@ -126,6 +127,21 @@ class DelightDiffusion:
         self._encode = _encode
         self._decode = _decode
         self._step = _step
+
+    @classmethod
+    def from_diffusers(cls, unet_state_dict: dict, vae_state_dict: dict,
+                       text_embed, *, context_dim: int = 768, **kw):
+        """Build from released InstructPix2Pix weights (a diffusers SD1.5
+        UNet with an 8-channel ``conv_in`` + its AutoencoderKL — the exact
+        modules ``dehighlight_utils.py:26-33`` loads). ``text_embed`` is the
+        pre-computed prompt embedding (B=1, L, context_dim)."""
+        from motion324_tpu.utils.sd_convert import (convert_sd_unet,
+                                                    convert_sd_vae)
+        self = cls({}, context_dim=context_dim, **kw)
+        self.params = {"unet": convert_sd_unet(unet_state_dict),
+                       "vae": convert_sd_vae(vae_state_dict),
+                       "text": np.asarray(text_embed, np.float32)}
+        return self
 
     @classmethod
     def init_random(cls, key=None, *, image_size: int = 64, **kw):

@@ -138,6 +138,10 @@ class MeshRenderer:
         h, w = view_image.shape[:2]
         px = (ndc[:, 0] * 0.5 + 0.5) * (w - 1)
         py = (0.5 + 0.5 * ndc[:, 1]) * (h - 1)
+        # internal buffers (depth/reliability) stay at self.resolution even
+        # when the view image is larger (e.g. 4x super-resolved views)
+        pxb = (ndc[:, 0] * 0.5 + 0.5) * (self.resolution - 1)
+        pyb = (0.5 + 0.5 * ndc[:, 1]) * (self.resolution - 1)
 
         color = _bilinear(view_image, px, py).reshape(
             self.texture_size, self.texture_size, -1)
@@ -150,7 +154,7 @@ class MeshRenderer:
         depth_img = view["depth"]
         z_tex = (clip[:, 2] / clip[:, 3]).reshape(self.texture_size,
                                                   self.texture_size)
-        z_ref = _bilinear(depth_img[..., None], px, py)[:, 0].reshape(
+        z_ref = _bilinear(depth_img[..., None], pxb, pyb)[:, 0].reshape(
             self.texture_size, self.texture_size)
         vis = view["mask"]
         z_tol = 2e-3 * (float(depth_img[vis].max() - depth_img[vis].min())
@@ -161,7 +165,7 @@ class MeshRenderer:
         # must be reliable — the gather-side equivalent of the reference's
         # image-space mask shrink before scatter)
         rel = self.reliability_mask(view, angle_thres_deg).astype(np.float32)
-        rel_tex = _bilinear(rel[..., None], px, py)[:, 0].reshape(
+        rel_tex = _bilinear(rel[..., None], pxb, pyb)[:, 0].reshape(
             self.texture_size, self.texture_size)
         reliable = rel_tex > 0.999
 

@@ -71,7 +71,8 @@ class PaintPipeline:
     def __init__(self, multiview_model: Callable | None = None,
                  multiview_params: dict | None = None,
                  resolution: int = 512, texture_size: int = 2048,
-                 delight: bool = True, interpret: bool = False):
+                 delight: bool = True, super_resolution: bool = False,
+                 upscaler=None, interpret: bool = False):
         # texture_size 2048 matches the reference's shipped config
         # (texgen/pipelines.py:45-47); views render/diffuse at 512^2.
         if multiview_model is None and multiview_params is not None:
@@ -85,6 +86,11 @@ class PaintPipeline:
         self.resolution = resolution
         self.texture_size = texture_size
         self.delight = delight
+        # per-view 4x upscale before baking; OFF by default, matching the
+        # reference, which ships Image_Super_Net commented out
+        # (texgen/pipelines.py:103,222)
+        self.super_resolution = super_resolution
+        self.upscaler = upscaler
         self.interpret = interpret
 
     def __call__(self, mesh: TriMesh, image: np.ndarray,
@@ -101,6 +107,13 @@ class PaintPipeline:
         renders = [renderer.render_view(elev, azim)
                    for azim, elev, _ in views]
         view_images = self.multiview_model(image, views, renders)
+
+        if self.super_resolution:
+            # per-view 4x SR before baking (back_project samples each view
+            # image by its own resolution, so no other stage changes)
+            from motion324_tpu.hy3dgen.super_resolution import Upscaler
+            up = self.upscaler or Upscaler(params=None)
+            view_images = [up(v) for v in view_images]
 
         texture, covered = renderer.bake(view_images, views)
 

@@ -44,7 +44,15 @@ def _gn(x, name, groups=_GN):
 
 
 class _Attention(nn.Module):
-    """diffusers-style attention: separate q/k/v, out projection with bias."""
+    """diffusers-style attention: separate q/k/v, out projection with bias.
+
+    ``ip_context`` enables IP-Adapter decoupled cross-attention (reference:
+    texgen/utils/alignImg4Tex_utils.py:28-30 loads ip-adapter weights into the
+    SD attention processors): image-prompt tokens get their own ``to_k_ip`` /
+    ``to_v_ip`` projections, share the query, and their attention output is
+    added with ``ip_scale`` BEFORE the shared ``to_out`` projection — the
+    exact IPAttnProcessor contract, so released ip-adapter weights map 1:1.
+    """
 
     dim: int
     heads: int
@@ -52,7 +60,8 @@ class _Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask=None):
+    def __call__(self, x, context=None, mask=None, ip_context=None,
+                 ip_scale=1.0):
         context = x if context is None else context
         b, l, _ = x.shape
         lc = context.shape[1]
@@ -76,8 +85,19 @@ class _Attention(nn.Module):
             out = multi_head_attention(q.reshape(b, l, self.heads, hd),
                                        k.reshape(b, lc, self.heads, hd),
                                        v.reshape(b, lc, self.heads, hd))
+        out = out.reshape(b, l, self.dim)
+        if ip_context is not None:
+            li = ip_context.shape[1]
+            k_ip = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="to_k_ip")(ip_context)
+            v_ip = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                            name="to_v_ip")(ip_context)
+            out_ip = multi_head_attention(q.reshape(b, l, self.heads, hd),
+                                          k_ip.reshape(b, li, self.heads, hd),
+                                          v_ip.reshape(b, li, self.heads, hd))
+            out = out + ip_scale * out_ip.reshape(b, l, self.dim)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
-                        name="to_out")(out.reshape(b, l, self.dim))
+                        name="to_out")(out)
 
 
 class _GEGLUFeedForward(nn.Module):
@@ -104,7 +124,8 @@ class _Block2p5D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, n_views: int, mode: str, ref_bank,
-                 ref_scale, mva_scale, mva_masks=None):
+                 ref_scale, mva_scale, mva_masks=None, ip_tokens=None,
+                 ip_scale=1.0):
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
         h = ln("norm1")(x)
 
@@ -140,10 +161,12 @@ class _Block2p5D(nn.Module):
             ma = ma.reshape(b * n_views, h.shape[1], self.dim)
             x = x + mva_scale * ma
 
-        # 2. cross attention to text context
+        # 2. cross attention to text context (+ optional IP-Adapter image
+        # tokens via decoupled k/v projections)
         h = ln("norm2")(x)
         x = x + _Attention(self.dim, self.heads, self.context_dim,
-                           dtype=self.dtype, name="attn2")(h, context)
+                           dtype=self.dtype, name="attn2")(
+            h, context, ip_context=ip_tokens, ip_scale=ip_scale)
 
         # 3. feed-forward
         h = ln("norm3")(x)
@@ -159,7 +182,7 @@ class _Transformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, n_views, mode, ref_bank, ref_scale,
-                 mva_scale, mva_masks=None):
+                 mva_scale, mva_masks=None, ip_tokens=None, ip_scale=1.0):
         b, hh, ww, c = x.shape
         res = x
         h = _gn(x, "norm")
@@ -172,7 +195,7 @@ class _Transformer2D(nn.Module):
             h = _Block2p5D(self.dim, self.heads, self.context_dim,
                            self.dtype, name=f"block_{i}")(
                 h, context, n_views, mode, bank, ref_scale, mva_scale,
-                mva_masks=mva_masks)
+                mva_masks=mva_masks, ip_tokens=ip_tokens, ip_scale=ip_scale)
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(
             h.reshape(b, hh, ww, self.dim))
         return h + res
@@ -205,6 +228,14 @@ class UNet2p5D(nn.Module):
     Views are folded into the batch (``n_views``); ``mode`` is 'w' (record the
     reference pass), 'r' (read the bank), or '' (plain). ``ref_bank`` is the
     dict returned under the ``ref_bank`` collection from a 'w' pass.
+
+    ``control_residuals`` is an optional ``(down_list, mid)`` pair produced by
+    :class:`motion324_tpu.hy3dgen.img2img.ControlNet`: one residual per skip
+    connection (added where the skip is consumed) plus one added after the mid
+    block — the diffusers ControlNet injection contract
+    (reference: texgen/utils/alignImg4Tex_utils.py:21-66).
+    ``ip_tokens`` are IP-Adapter image-prompt tokens consumed by every text
+    cross-attention via decoupled k/v projections.
     """
 
     in_channels: int = 12
@@ -220,7 +251,8 @@ class UNet2p5D(nn.Module):
     @nn.compact
     def __call__(self, x, t, context, camera_ids=None, n_views: int = 1,
                  mode: str = "", ref_bank=None, ref_scale=1.0,
-                 mva_scale=1.0, mva_masks=None):
+                 mva_scale=1.0, mva_masks=None, control_residuals=None,
+                 ip_tokens=None, ip_scale=1.0):
         ch0 = self.block_channels[0]
         temb_dim = ch0 * 4
 
@@ -238,7 +270,8 @@ class UNet2p5D(nn.Module):
             temb = temb + cam.astype(temb.dtype)
 
         kw = dict(n_views=n_views, mode=mode, ref_scale=ref_scale,
-                  mva_scale=mva_scale, mva_masks=mva_masks)
+                  mva_scale=mva_scale, mva_masks=mva_masks,
+                  ip_tokens=ip_tokens, ip_scale=ip_scale)
 
         def tf(ch, name, h):
             # read side of the reference bank: the sown tree from the 'w'
@@ -265,11 +298,19 @@ class UNet2p5D(nn.Module):
                             name=f"down_{bi}_downsample")(h)
                 skips.append(h)
 
+        # ControlNet residuals: one per skip, added where produced; the mid
+        # residual lands after the mid block (diffusers injection contract)
+        if control_residuals is not None:
+            down_res, mid_res = control_residuals
+            skips = [s + r for s, r in zip(skips, down_res, strict=True)]
+
         # mid
         ch = self.block_channels[-1]
         h = _ResnetBlock(ch, self.dtype, name="mid_res_0")(h, temb)
         h = tf(ch, "mid_tf", h)
         h = _ResnetBlock(ch, self.dtype, name="mid_res_1")(h, temb)
+        if control_residuals is not None:
+            h = h + mid_res
 
         # up path (mirror, one extra resnet per stage, skip concat)
         for bi, ch in reversed(list(enumerate(self.block_channels))):

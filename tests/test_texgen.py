@@ -62,6 +62,19 @@ def test_paint_pipeline_end_to_end():
     assert out.texture.max() > 0.1
 
 
+def test_paint_pipeline_super_resolution_path():
+    """SR-gated paint: views upscale 4x (Lanczos fallback without weights)
+    before baking; bake handles the larger views transparently."""
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    image = np.full((64, 64, 3), [0.2, 0.7, 0.3], np.float32)
+    pipe = PaintPipeline(resolution=64, texture_size=64, delight=False,
+                         super_resolution=True, interpret=True)
+    out = pipe(mesh, image)
+    assert out.texture.shape == (64, 64, 3)
+    assert np.isfinite(out.texture).all()
+    assert out.texture.max() > 0.1
+
+
 # --------------------------------------------------------------------------- #
 # voxel-locality attention (turbo mode)
 # --------------------------------------------------------------------------- #
