@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -207,6 +208,101 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                      dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
+                      *, kv_len: int, block_kv: int):
+    """Single-pass flash backward: dq, dk, dv from ONE sweep over (iq, ikv).
+
+    The two-kernel backward recomputes ``s``/``p``/``dp`` in both kernels
+    (7 tile matmuls) and reads q/k/v/o/do/lse from HBM twice; here each tile
+    is computed once (5 matmuls) and inputs stream once. dq accumulates in a
+    per-q-block scratch (ikv innermost), dk/dv accumulate into a FULL-KV f32
+    scratch (persistent across the whole (iq, ikv) sweep of one bh slice) and
+    are flushed to HBM at the final step.
+    """
+    iq = pl.program_id(1)
+    nq = pl.num_programs(1)
+    ikv = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(ikv == 0)
+    def _init_dq():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when((iq == 0) & (ikv == 0))
+    def _init_dkv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (bq,bkv)
+    s = _mask_tail(s, ikv, kv_len, block_kv, nkv)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+
+    pb = p.astype(do.dtype)
+    dsb = ds.astype(q.dtype)
+    sl = pl.ds(ikv * block_kv, block_kv)
+    dv_scr[sl] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dk_scr[sl] += jax.lax.dot_general(dsb, q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+    dq_scr[:] += jax.lax.dot_general(dsb, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(ikv == nkv - 1)
+    def _flush_dq():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+    @pl.when((iq == nq - 1) & (ikv == nkv - 1))
+    def _flush_dkv():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    # tile budget: s/p/dp/ds live at (bq, bkv) f32 + the (skv, d) f32 dk/dv
+    # scratch; the caps keep the working set well inside VMEM (A/B'd on
+    # hardware via bench_train)
+    block_q = min(block_q, _FUSED_BQ)
+    block_kv = min(block_kv, _FUSED_BKV)
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0))
+    kv_spec = pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0))
+    lse_spec = pl.BlockSpec((1, block_q, _LANES), lambda b, iq, ikv: (b, iq, 0))
+    full_kv_spec = pl.BlockSpec((1, skv, d), lambda b, iq, ikv: (b, 0, 0))
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, kv_len=kv_len,
+                          block_kv=block_kv),
+        grid=(bh, sq // block_q, skv // block_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        out_specs=[q_spec, full_kv_spec, full_kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((skv, d), jnp.float32),
+            pltpu.VMEM((skv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv
+
+
 def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -273,8 +369,22 @@ def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
     return o, (q, k, v, o, lse)
 
 
+# Fused (single-sweep) backward is used whenever the full-KV f32 dk/dv
+# scratch fits comfortably in VMEM; beyond that, the two-kernel backward
+# streams KV blocks. 8192 rows x 64 lanes x f32 x 2 = 4 MB of scratch.
+_FUSED_BWD_MAX_KV = 8192
+# tile caps for the fused kernel; env-overridable for on-hardware A/B runs.
+# measured on v5e (bench_train batch 16): 1024/512 = 2015 ms, 512/512 =
+# 2029 ms, 1024/1024 = VMEM OOM (20.1 M scoped)
+_FUSED_BQ = int(os.environ.get("MOTION324_FUSED_BQ", 1024))
+_FUSED_BKV = int(os.environ.get("MOTION324_FUSED_BKV", 512))
+
+
 def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):
     q, k, v, o, lse = res
+    if k.shape[1] <= _FUSED_BWD_MAX_KV and k.shape[2] <= 128:
+        return _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv,
+                          interpret)
     return _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret)
 
 

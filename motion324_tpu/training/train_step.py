@@ -82,6 +82,10 @@ def build_train_step(model, tx, cfg, mesh,
     spike = float(t.get("allowed_gradnorm_factor", 5)) * clip
     accum = int(t.get("grad_accum_steps", 1))
     weight = float(t.get("coord_mse_loss_weight", 1.0))
+    # halve ICI gradient traffic by all-reducing in bf16 (the analogue of the
+    # reference's AMP bf16 DDP buckets); off by default — numerics-identical
+    # paths stay comparable in tests and single-chip runs see no traffic
+    bf16_reduce = bool(t.get("bf16_grad_allreduce", False))
 
     if loss_fn is None:
         def loss_fn(params, batch, rng):
@@ -117,7 +121,13 @@ def build_train_step(model, tx, cfg, mesh,
         else:
             (loss, metrics), grads = grad_fn(state.params, batch, rng)
 
-        grads = jax.lax.pmean(grads, "dp")
+        if bf16_reduce:
+            dtypes = jax.tree.map(lambda g: g.dtype, grads)
+            grads = jax.lax.pmean(
+                jax.tree.map(lambda g: g.astype(jnp.bfloat16), grads), "dp")
+            grads = jax.tree.map(lambda g, d: g.astype(d), grads, dtypes)
+        else:
+            grads = jax.lax.pmean(grads, "dp")
         loss = jax.lax.pmean(loss, "dp")
         metrics = jax.lax.pmean(metrics, "dp")
 

@@ -144,3 +144,31 @@ def test_frozen_encoder_not_updated(setup):
     after = state2.params["params"]["image_encoder"]
     for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_bf16_grad_allreduce_close_to_f32(_shared):
+    """training.bf16_grad_allreduce halves ICI gradient traffic; one step's
+    resulting params must stay within bf16 rounding of the f32-reduce step."""
+    cfg, mesh, model, batch, params_np, tx, step_f32 = _shared
+    cfg16 = load_config("configs/dyscene.yaml",
+                        ["training.warmup=2", "training.train_steps=100",
+                         "training.lr=1e-3",
+                         "training.allowed_gradnorm_factor=1e9",
+                         "training.bf16_grad_allreduce=true"])
+    step_bf16 = build_train_step(model, tx, cfg16, mesh)
+    sharding = batch_sharding(mesh)
+    batch = jax.device_put(batch, sharding)
+    rng = jax.random.PRNGKey(0)
+
+    out = {}
+    for name, fn in [("f32", step_f32), ("bf16", step_bf16)]:
+        state = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+        state, metrics = fn(state, batch, rng)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["skipped"]) == 0.0
+        out[name] = jax.tree.map(np.asarray, state.params)
+
+    leaves_a = jax.tree_util.tree_leaves(out["f32"])
+    leaves_b = jax.tree_util.tree_leaves(out["bf16"])
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2)
