@@ -65,7 +65,10 @@ def _decode_grid(query_fn, params, processed_latents, resolution: int,
     def one(i):
         flat = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
         pts = _flat_to_points(jnp.minimum(flat, n - 1), r, box_v)
-        return query_fn(params, pts[None], processed_latents)[0]
+        # f16 halves the grid download (228 MB of f32 at 385^3 dominates wall
+        # time on tunneled links); logits only feed iso-crossing extraction
+        return query_fn(params, pts[None], processed_latents)[0] \
+            .astype(jnp.float16)
 
     return jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32)).reshape(-1)
 
@@ -84,6 +87,20 @@ def decode_volume(query_fn, params, processed_latents, resolution: int = 384,
     return np.asarray(logits[:n], np.float32).reshape(r, r, r)
 
 
+
+
+def _dilate(mask: np.ndarray, iterations: int) -> np.ndarray:
+    """Cross-structured binary dilation via shifted ORs (equivalent to
+    scipy.ndimage.binary_dilation's default, ~5x faster at 385^3 — the scipy
+    call was a measurable chunk of FlashVDM wall time)."""
+    m = mask
+    for _ in range(iterations):
+        out = m.copy()
+        out[1:] |= m[:-1];  out[:-1] |= m[1:]
+        out[:, 1:] |= m[:, :-1];  out[:, :-1] |= m[:, 1:]
+        out[:, :, 1:] |= m[:, :, :-1];  out[:, :, :-1] |= m[:, :, 1:]
+        m = out
+    return m
 
 
 def _host_trilinear(coarse: np.ndarray, r: int) -> np.ndarray:
@@ -123,11 +140,10 @@ def decode_volume_hierarchical(query_fn, params, processed_latents,
 
     # near-surface selection on the upsampled field itself (no grid-alignment
     # bookkeeping), dilated by one coarse cell of fine voxels
-    from scipy.ndimage import binary_dilation
     mask = np.abs(fine_init) < band
     # the band is measured on the UPSAMPLED field, so the true surface is
     # within ~half a coarse cell of it; dilate by that margin
-    mask = binary_dilation(mask, iterations=max(coarse_factor // 2, 1))
+    mask = _dilate(mask, max(coarse_factor // 2, 1))
 
     idx = np.argwhere(mask)
     if len(idx) == 0:
@@ -145,7 +161,8 @@ def decode_volume_hierarchical(query_fn, params, processed_latents,
 def _refine_run(query_fn, params, processed_latents, r, box_v, chunk, idx):
     def one(ii):
         pts = _flat_to_points(ii, r, box_v)
-        return query_fn(params, pts[None], processed_latents)[0]
+        return query_fn(params, pts[None], processed_latents)[0] \
+            .astype(jnp.float16)  # halved download, see _decode_grid
 
     return jax.lax.map(one, idx.reshape(-1, chunk)).reshape(-1)
 
@@ -192,9 +209,8 @@ def decode_volume_flashvdm(vae, params, processed_latents,
     r = resolution + 1
     fine_init = _host_trilinear(coarse, r)  # see decode_volume_hierarchical
 
-    from scipy.ndimage import binary_dilation
     mask = np.abs(fine_init) < band
-    mask = binary_dilation(mask, iterations=max(coarse_factor // 2, 1))
+    mask = _dilate(mask, max(coarse_factor // 2, 1))
     idx = np.argwhere(mask)
     if len(idx) == 0:
         return fine_init

@@ -104,10 +104,70 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
             lse_ref[0] = jnp.broadcast_to(lse[:, None], lse_ref.shape[1:])
 
 
+def _fwd_single_kv_kernel(q_ref, k_ref, v_ref, o_ref, *rest,
+                          kv_len: int, block_kv: int, with_lse: bool):
+    """Whole-KV-in-one-block forward: plain softmax, no online-update scratch.
+
+    When the KV set fits one block (decoder cross-attention: thousands of
+    query points against a few hundred latents), the streaming machinery —
+    m/l scratch reads, acc rescaling, final division pass — is pure overhead;
+    this straight-line kernel measured 15 -> ~100 TF/s on the ShapeVAE
+    volume-decode shapes (scripts/profile_volume.py).
+    """
+    q = q_ref[0]
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = _mask_tail(s, 0, kv_len, block_kv, 1)
+    m = jnp.max(s, axis=1)
+    p = jnp.exp(s - m[:, None])
+    l = jnp.sum(p, axis=1)
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (pv / l[:, None]).astype(o_ref.dtype)
+    if with_lse:
+        lse = m + jnp.log(l)
+        rest[0][0] = jnp.broadcast_to(lse[:, None], rest[0].shape[1:])
+
+
+def _fwd_single_kv(q, k, v, kv_len: int, block_q: int, interpret: bool,
+                   with_lse: bool):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    grid = (bh, sq // block_q)
+    kernel = functools.partial(_fwd_single_kv_kernel, kv_len=kv_len,
+                               block_kv=skv, with_lse=with_lse)
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0))]
+    out_shape = [jax.ShapeDtypeStruct((bh, sq, d), q.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, block_q, _LANES),
+                                      lambda b, iq: (b, iq, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((bh, sq, _LANES), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, iq: (b, iq, 0)),
+            pl.BlockSpec((1, skv, d), lambda b, iq: (b, 0, 0)),
+            pl.BlockSpec((1, skv, d), lambda b, iq: (b, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return (outs[0], outs[1]) if with_lse else (outs[0], None)
+
+
 def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
          interpret: bool, with_lse: bool):
     bh, sq, d = q.shape
     skv = k.shape[1]
+    if skv <= block_kv and _SINGLE_KV:
+        # whole KV in one block: skip the streaming machinery
+        return _fwd_single_kv(q, k, v, kv_len, block_q, interpret, with_lse)
     grid = (bh, sq // block_q, skv // block_kv)
     kernel = functools.partial(_fwd_kernel, kv_len=kv_len,
                                block_kv=block_kv, with_lse=with_lse)
@@ -378,6 +438,7 @@ _FUSED_BWD_MAX_KV = 8192
 # 2029 ms, 1024/1024 = VMEM OOM (20.1 M scoped)
 _FUSED_BQ = int(os.environ.get("MOTION324_FUSED_BQ", 1024))
 _FUSED_BKV = int(os.environ.get("MOTION324_FUSED_BKV", 512))
+_SINGLE_KV = os.environ.get("MOTION324_SINGLE_KV", "1") != "0"
 
 
 def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):

@@ -8,8 +8,14 @@ realistic 5%-of-volume shell for the comparison (real checkpoints produce
 Measured on one v5e (2026-08-16): dense 42 s, FlashVDM 9.7 s (4.4x).
 """
 
+import argparse
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--chunk", type=int, default=8192)
+_ap.add_argument("--skip-dense", action="store_true")
+_args = _ap.parse_args()
+CHUNK = _args.chunk
 import jax, jax.numpy as jnp, numpy as np
 from motion324_tpu.utils.jit_cache import enable_compilation_cache
 enable_compilation_cache()
@@ -30,22 +36,23 @@ RES = 384
 # pick a refinement band covering ~5% of voxels (a realistic surface shell;
 # random weights otherwise put EVERYTHING in the near-surface band)
 coarse = decode_volume(query_fn, params, processed, resolution=RES // 4,
-                       chunk=8192)
+                       chunk=CHUNK)
 band = float(np.quantile(np.abs(coarse), 0.05))
 print(f"band for 5% shell: {band:.4f}", flush=True)
 
 t0 = time.perf_counter()
 g1 = decode_volume_flashvdm(vae, params, processed, resolution=RES,
-                            chunk=8192, topk=64, band=band)
+                            chunk=CHUNK, topk=64, band=band)
 t_first = time.perf_counter() - t0
 t0 = time.perf_counter()
 g1 = decode_volume_flashvdm(vae, params, processed, resolution=RES,
-                            chunk=8192, topk=64, band=band)
+                            chunk=CHUNK, topk=64, band=band)
 t_flash = time.perf_counter() - t0
 print(f"flashvdm 385^3 (5% shell): {t_flash:.1f}s (first {t_first:.1f}s)", flush=True)
 
-t0 = time.perf_counter()
-g0 = decode_volume(query_fn, params, processed, resolution=RES, chunk=8192)
-t_dense = time.perf_counter() - t0
-print(f"vanilla dense 385^3: {t_dense:.1f}s", flush=True)
-print(f"speedup: {t_dense / t_flash:.1f}x", flush=True)
+if not _args.skip_dense:
+    t0 = time.perf_counter()
+    g0 = decode_volume(query_fn, params, processed, resolution=RES, chunk=CHUNK)
+    t_dense = time.perf_counter() - t0
+    print(f"vanilla dense 385^3: {t_dense:.1f}s", flush=True)
+    print(f"speedup: {t_dense / t_flash:.1f}x", flush=True)

@@ -30,11 +30,12 @@ def main():
     failures = []
 
     def check(name, fn, b, h, s, d, dtype, atol):
+        sq, sk = s if isinstance(s, tuple) else (s, s)
         kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(0), 4)
-        q = jax.random.normal(kq, (b, h, s, d), jnp.float32).astype(dtype)
-        k = jax.random.normal(kk, (b, h, s, d), jnp.float32).astype(dtype)
-        v = jax.random.normal(kv, (b, h, s, d), jnp.float32).astype(dtype)
-        cot = jax.random.normal(kg, (b, h, s, d), jnp.float32)
+        q = jax.random.normal(kq, (b, h, sq, d), jnp.float32).astype(dtype)
+        k = jax.random.normal(kk, (b, h, sk, d), jnp.float32).astype(dtype)
+        v = jax.random.normal(kv, (b, h, sk, d), jnp.float32).astype(dtype)
+        cot = jax.random.normal(kg, (b, h, sq, d), jnp.float32)
 
         def loss(f, q, k, v):
             return jnp.sum(f(q, k, v).astype(jnp.float32) * cot)
@@ -79,6 +80,9 @@ def main():
           jnp.bfloat16, 3e-2)
     check("short  f32  (4,4,324,64)", short_attention, 4, 4, 324, 64,
           jnp.float32, 8e-3)
+    # single-KV-block fast path (volume-decoder cross attention)
+    check("flash  bf16 (1,16,8192x512,64)", flash_attention, 1, 16,
+          (8192, 512), 64, jnp.bfloat16, 3e-2)
 
     if failures:
         print(f"FAILED: {failures}")

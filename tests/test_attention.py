@@ -140,3 +140,41 @@ def test_short_custom_scale_and_bf16():
                         v.astype(jnp.float32), scale=0.31)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_fused_and_twokernel_backwards_agree():
+    """Both flash backward implementations (fused single-sweep vs streaming
+    two-kernel) must match the XLA reference and each other at multi-block
+    shapes; the fused path routes only for KV <= _FUSED_BWD_MAX_KV, so this
+    pins the two-kernel path against rot even when CI shapes are short."""
+    from motion324_tpu.ops import flash_attention as fa
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, h, sq, sk, d = 1, 2, 300, 516, 64
+    q, k, v = (_rand(kq, (b, h, sq, d)), _rand(kk, (b, h, sk, d)),
+               _rand(kv, (b, h, sk, d)))
+    cot = _rand(kg, (b, h, sq, d))
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_kv=128,
+                            interpret=True)
+        return jnp.sum(o * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    grads = {}
+    old = fa._FUSED_BWD_MAX_KV
+    try:
+        for name, cap in [("fused", 8192), ("twokernel", 0)]:
+            fa._FUSED_BWD_MAX_KV = cap
+            grads[name] = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+            for g, r, nm in zip(grads[name], g_ref, "qkv"):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                           atol=1e-4, rtol=1e-4,
+                                           err_msg=f"{name} d{nm}")
+    finally:
+        fa._FUSED_BWD_MAX_KV = old
+    for a, b_ in zip(grads["fused"], grads["twokernel"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
