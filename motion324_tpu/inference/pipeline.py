@@ -176,28 +176,36 @@ class MotionPipeline:
         ``segmentation_params`` selects converted U2Net weights, else the
         border-statistics fallback segments.
         """
+        from motion324_tpu.utils.profiling import phase_timer
         os.makedirs(output_dir, exist_ok=True)
         t0 = time.perf_counter()
-        mesh = load_mesh(mesh_path)
-        inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
-        video = load_video(video_path, max_frames)
+        with phase_timer("mesh load+sample"):
+            mesh = load_mesh(mesh_path)
+            inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
+        with phase_timer("video decode"):
+            video = load_video(video_path, max_frames)
         if use_segmentation:
-            from motion324_tpu.inference.segmentation import segment_frames
-            mask = segment_frames(video, params=segmentation_params)
-            video = video * mask[..., None]
+            with phase_timer("segmentation"):
+                from motion324_tpu.inference.segmentation import segment_frames
+                mask = segment_frames(video, params=segmentation_params)
+                video = video * mask[..., None]
         log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
             f"{' (segmented)' if use_segmentation else ''}")
 
-        trajs = self.predict(inputs, video)
+        with phase_timer("model predict"):
+            trajs = self.predict(inputs, video)
         if smooth:
-            trajs = smooth_trajectories(trajs, method="combined",
-                                        motion_threshold=0.002, sigma=1.0)
+            with phase_timer("smoothing"):
+                trajs = smooth_trajectories(trajs, method="combined",
+                                            motion_threshold=0.002, sigma=1.0)
         trajs_b = to_blender_coords(trajs[0])
         verts_b = to_blender_coords(norm_mesh.vertices)
         out_path = os.path.join(output_dir, "output_animation.glb")
-        export_animated_glb(out_path, verts_b, norm_mesh.faces, trajs_b,
-                            fps=fps, uv=norm_mesh.uv, texture=norm_mesh.texture,
-                            vertex_colors=norm_mesh.vertex_colors)
+        with phase_timer("glb export"):
+            export_animated_glb(out_path, verts_b, norm_mesh.faces, trajs_b,
+                                fps=fps, uv=norm_mesh.uv,
+                                texture=norm_mesh.texture,
+                                vertex_colors=norm_mesh.vertex_colors)
         log(f"animated GLB written to {out_path} "
             f"({time.perf_counter() - t0:.2f}s total)")
         return out_path
