@@ -17,6 +17,7 @@ The TPU-native counterpart of the reference's ``inference_with_video_mesh.py``
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -73,6 +74,26 @@ def prepare_mesh_inputs(mesh: TriMesh, num_shape_samples: int = 16384,
     return inputs, (center, scale), mesh
 
 
+def _border_segment(x, border: int = 8, sigma_factor: float = 4.0):
+    """In-graph border-statistics foreground mask, (B, T, H, W, 3) -> mask.
+
+    Same math as :func:`motion324_tpu.inference.segmentation.threshold_segment`
+    (background color distribution from the frame borders), traced into the
+    video-encode program so the fallback segmentation costs ~nothing instead
+    of ~0.3 s of host numpy per clip.
+    """
+    h, w = x.shape[2], x.shape[3]
+    bmask = np.zeros((h, w), bool)
+    bmask[:border] = bmask[-border:] = True
+    bmask[:, :border] = bmask[:, -border:] = True
+    border_pix = x[:, :, np.argwhere(bmask)[:, 0],
+                   np.argwhere(bmask)[:, 1]]  # (B, T, P, 3)
+    mean = border_pix.mean(axis=2)[:, :, None, None]  # (B, T, 1, 1, 3)
+    std = border_pix.std(axis=2)[:, :, None, None] + 1e-3
+    dist = jnp.abs(x - mean) / std
+    return (dist.max(axis=-1) > sigma_factor).astype(x.dtype)
+
+
 def to_blender_coords(trajs: np.ndarray) -> np.ndarray:
     """(x, y, z) -> (x, -z, y) (reference scripts/inference_with_video_mesh.py:411-418)."""
     out = trajs.copy()
@@ -111,9 +132,18 @@ class MotionPipeline:
             return model.apply(params, sp, sn, sr,
                                method=MotionLatentModel.encode_shape)
 
-        @jax.jit
-        def _encode_video(params, video, mesh_feat):
-            return model.apply(params, video, mesh_feat,
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def _encode_video(params, video, mesh_feat, segment: bool = False):
+            # video ships as uint8 (4x less tunnel/host->HBM traffic than
+            # f32 — the transfer dominated e2e wall time) and normalises
+            # in-graph; the border-statistics segmentation fallback also
+            # runs in-graph (its host numpy version cost ~0.3 s/clip)
+            x = video
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            if segment:
+                x = x * _border_segment(x)[..., None]
+            return model.apply(params, x, mesh_feat,
                                method=MotionLatentModel.encode_video)
 
         @jax.jit
@@ -126,9 +156,11 @@ class MotionPipeline:
         self._decode = _decode
 
     # ------------------------------------------------------------------ #
-    def predict_window(self, mesh_feat, window_video, inputs):
+    def predict_window(self, mesh_feat, window_video, inputs,
+                       segment: bool = False):
         """One window: video encode + chunked point decode -> (1, T, N, 3)."""
-        tokens = self._encode_video(self.params, window_video, mesh_feat)
+        tokens = self._encode_video(self.params, window_video, mesh_feat,
+                                    segment)
         n = inputs["ref_pcd"].shape[1]
         ck = self.decode_chunk
         if n <= ck:
@@ -150,14 +182,21 @@ class MotionPipeline:
             parts.append(np.asarray(out[:, :, :size]))
         return np.concatenate(parts, axis=2)
 
-    def predict(self, inputs, video: np.ndarray) -> np.ndarray:
-        """Full-video trajectories ``(1, T, N, 3)`` with sliding windows."""
+    def predict(self, inputs, video: np.ndarray,
+                segment: bool = False) -> np.ndarray:
+        """Full-video trajectories ``(1, T, N, 3)`` with sliding windows.
+
+        ``video`` may be float32 in [0, 1] or uint8 (preferred: 4x smaller
+        host->device transfer); ``segment`` applies the in-graph
+        border-statistics foreground mask per frame.
+        """
         mesh_feat = self._encode_shape(
             self.params, inputs["ref_shape_pcd"], inputs["ref_shape_normals"],
             inputs["ref_shape_rgbs"])
 
         def forward(window):
-            return self.predict_window(mesh_feat, window[None], inputs)
+            return self.predict_window(mesh_feat, window[None], inputs,
+                                       segment=segment)
 
         return sliding_window_predict(forward, video, self.window,
                                       inputs["ref_pcd"])
@@ -184,16 +223,23 @@ class MotionPipeline:
             inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
         with phase_timer("video decode"):
             video = load_video(video_path, max_frames)
-        if use_segmentation:
+        seg_in_graph = False
+        if use_segmentation and segmentation_params is not None:
+            # converted U2Net weights: device mask pass, applied on host
             with phase_timer("segmentation"):
                 from motion324_tpu.inference.segmentation import segment_frames
                 mask = segment_frames(video, params=segmentation_params)
                 video = video * mask[..., None]
+        else:
+            # border-statistics fallback fuses into the video-encode program
+            seg_in_graph = use_segmentation
         log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
             f"{' (segmented)' if use_segmentation else ''}")
 
         with phase_timer("model predict"):
-            trajs = self.predict(inputs, video)
+            # ship the video as uint8: 4x smaller host->device transfer
+            video_u8 = (np.clip(video, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+            trajs = self.predict(inputs, video_u8, segment=seg_in_graph)
         if smooth:
             with phase_timer("smoothing"):
                 trajs = smooth_trajectories(trajs, method="combined",

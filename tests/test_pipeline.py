@@ -97,3 +97,35 @@ def test_run_end_to_end(pipeline, tmp_path):
 def test_to_blender_coords():
     x = np.array([[1.0, 2.0, 3.0]], np.float32)
     np.testing.assert_array_equal(to_blender_coords(x), [[1.0, -3.0, 2.0]])
+
+
+def test_border_segment_in_graph_matches_host():
+    """The in-graph fallback segmentation (fused into the video-encode
+    program) must reproduce threshold_segment's host-numpy mask exactly."""
+    import jax.numpy as jnp
+    from motion324_tpu.inference.pipeline import _border_segment
+    from motion324_tpu.inference.segmentation import threshold_segment
+
+    rng = np.random.default_rng(0)
+    video = (rng.random((3, 32, 40, 3)) * 0.2).astype(np.float32)
+    video[:, 12:20, 16:28] = rng.random((3, 8, 12, 3)) * 0.8 + 0.2
+    host = threshold_segment(video)
+    graph = np.asarray(_border_segment(jnp.asarray(video)[None])[0])
+    np.testing.assert_array_equal(graph, host)
+
+
+def test_predict_uint8_matches_float(pipeline):
+    """uint8 video input must give the same trajectories as the equivalent
+    float video (conversion happens in-graph)."""
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    inputs, _, _ = prepare_mesh_inputs(mesh, num_shape_samples=64)
+    rng = np.random.default_rng(1)
+    video_u8 = rng.integers(0, 256, (3, 28, 28, 3), dtype=np.uint8)
+    video_f = video_u8.astype(np.float32) / 255.0
+    t_f = pipeline.predict(inputs, video_f)
+    t_u8 = pipeline.predict(inputs, video_u8)
+    np.testing.assert_allclose(t_u8, t_f, atol=1e-5)
+
+    # in-graph segmentation path runs and masks something
+    t_seg = pipeline.predict(inputs, video_u8, segment=True)
+    assert np.isfinite(t_seg).all()
