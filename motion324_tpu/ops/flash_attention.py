@@ -431,8 +431,10 @@ def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
 
 # Fused (single-sweep) backward is used whenever the full-KV f32 dk/dv
 # scratch fits comfortably in VMEM; beyond that, the two-kernel backward
-# streams KV blocks. 8192 rows x 64 lanes x f32 x 2 = 4 MB of scratch.
-_FUSED_BWD_MAX_KV = 8192
+# streams KV blocks. At 8192 KV the scratch + four (bq, bkv) f32 tiles
+# exceed scoped VMEM (compile failure observed on v5e); 4096 is verified
+# on hardware (the training shape, 3888 padded) — check_tpu_kernels.
+_FUSED_BWD_MAX_KV = 4096
 # tile caps for the fused kernel; env-overridable for on-hardware A/B runs.
 # measured on v5e (bench_train batch 16): 1024/512 = 2015 ms, 512/512 =
 # 2029 ms, 1024/1024 = VMEM OOM (20.1 M scoped)

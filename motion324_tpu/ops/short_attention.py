@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["short_attention"]
 
 NEG_INF = -1e30
+# default batch*head slices per grid step; env-overridable for hardware A/B
+_DEFAULT_BB = int(os.environ.get("MOTION324_SHORT_BB", 4))
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -144,7 +147,7 @@ _short_core.defvjp(_short_core_fwd, _short_core_bwd)
 
 
 def short_attention(q, k, v, *, scale: float | None = None,
-                    block_bh: int = 4, interpret: bool = False):
+                    block_bh: int | None = None, interpret: bool = False):
     """Exact multi-head attention for short KV (S_kv padded <= ~512).
 
     Args:
@@ -172,9 +175,10 @@ def short_attention(q, k, v, *, scale: float | None = None,
         vf = jnp.pad(vf, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     # VMEM guard: the kernel holds ~two (bb, Sq, Sk) f32 tiles; cap bb so they
-    # stay within ~6 MB (callers route larger shapes to the flash kernel)
-    bb = block_bh
-    while bb > 1 and bb * sq_p * sk_p * 8 > 6 * 1024 * 1024:
+    # stay within ~10 MB (callers route larger shapes to the flash kernel;
+    # the backward kernel independently halves bb for its ~4 tiles)
+    bb = block_bh if block_bh is not None else _DEFAULT_BB
+    while bb > 1 and bb * sq_p * sk_p * 8 > 10 * 1024 * 1024:
         bb //= 2
     while (b * h) % bb:
         bb //= 2
