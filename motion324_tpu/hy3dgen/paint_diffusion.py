@@ -109,6 +109,24 @@ class MultiviewDiffusion:
         self._step = _step
 
     @classmethod
+    def from_diffusers(cls, unet_state_dict: dict, vae_state_dict: dict,
+                       text_gen, text_ref, **kw):
+        """Build from released HunyuanPaint weights: the ``unet.``-prefixed
+        2p5D-wrapped diffusers UNet (refview/multiview attentions + camera
+        table map via ``convert_sd_unet``), its AutoencoderKL, and the two
+        learned text embeddings (reference modules.py:447-448)."""
+        from motion324_tpu.utils.sd_convert import (convert_sd_unet,
+                                                    convert_sd_vae)
+        self = cls(params={}, **kw)
+        self.params = {
+            "unet": convert_sd_unet(unet_state_dict),
+            "vae": convert_sd_vae(vae_state_dict),
+            "text_gen": np.asarray(text_gen, np.float32),
+            "text_ref": np.asarray(text_ref, np.float32),
+        }
+        return self
+
+    @classmethod
     def init_random(cls, key=None, *, image_size: int = 64, **kwargs):
         key = jax.random.PRNGKey(0) if key is None else key
         self = cls(params={}, **kwargs)

@@ -277,6 +277,34 @@ class TestFromDiffusers:
         assert np.isfinite(out).all()
 
 
+    def test_multiview_diffusion_from_diffusers(self):
+        """HunyuanPaint layout (unet.-prefixed 2p5D UNet + VAE + learned text
+        embeds) loads through MultiviewDiffusion.from_diffusers and generates
+        (texgen weights path, hunyuanpaint/pipeline.py:193-266)."""
+        from motion324_tpu.hy3dgen.paint_diffusion import MultiviewDiffusion
+
+        unet = UNet2p5D(in_channels=12, block_channels=(8, 8, 8, 8),
+                        head_dim=4, context_dim=16, tf_depth=1)
+        vae = AutoencoderKL(block_channels=(4, 4, 4, 4), layers_per_block=1)
+        x = jnp.zeros((2, 8, 8, 12))
+        ctx = jnp.zeros((2, 3, 16))
+        uv = unet.init(jax.random.PRNGKey(7), x, jnp.zeros((2,)), ctx,
+                       jnp.zeros((2,), jnp.int32), 2, "wr")
+        vv = vae.init(jax.random.PRNGKey(8), jnp.zeros((1, 64, 64, 3)))
+        mv = MultiviewDiffusion.from_diffusers(
+            synth_unet_sd({"params": uv["params"]}, prefix="unet."),
+            synth_vae_sd({"params": vv["params"]}, layers=1),
+            np.zeros((1, 3, 16), np.float32), np.zeros((1, 3, 16), np.float32),
+            unet=unet, vae=vae, text_len=3, context_dim=16,
+            dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        control = rng.random((2, 64, 64, 6), np.float32)
+        ref = rng.random((64, 64, 3), np.float32)
+        out = mv.generate(ref, control, num_steps=1)
+        assert out.shape == (2, 64, 64, 3)
+        assert np.isfinite(out).all()
+
+
 class TestConvertSDVAE:
     def test_roundtrip(self):
         vae = AutoencoderKL(block_channels=(4, 4, 4, 4))
