@@ -202,15 +202,22 @@ class MultiviewDiffusion:
         return [img * r["mask"][..., None] for img, r in zip(imgs, renders)]
 
     @staticmethod
-    def turbo_masks(renders, grid_resolutions=(32, 16, 8)):
+    def turbo_masks(renders, grid_resolutions=(32, 16, 8),
+                    dense: bool = False):
         """Voxel-locality multiview-attention masks from the views' position
-        maps (reference turbo mode, modules.py:302-402): masks are keyed by
-        joint token count and consumed by UNet2p5D's multiview attention."""
+        maps (reference turbo mode, modules.py:302-402), keyed by joint token
+        count for UNet2p5D's multiview attention.
+
+        Default is the IMPLICIT (positions, radius) form consumed by the
+        masked flash kernel — O(S) memory, usable at product resolution.
+        ``dense=True`` returns the explicit (B, S, S) boolean masks (tests /
+        small shapes)."""
         import jax.numpy as jnp
-        from motion324_tpu.hy3dgen.voxel_attention import multi_resolution_mask
+        from motion324_tpu.hy3dgen.voxel_attention import (
+            multi_resolution_mask, multi_resolution_positions)
         pos = np.stack([r["position"] + 0.5 for r in renders])[None]
         # background convention: voxel_attention treats exactly-1.0 as empty
         mask_bg = ~np.stack([r["mask"] for r in renders])[None][..., None]
         pos = np.where(mask_bg, 1.0, np.clip(pos, 0.0, 0.999))
-        return multi_resolution_mask(jnp.asarray(pos, jnp.float32),
-                                     grid_resolutions)
+        build = multi_resolution_mask if dense else multi_resolution_positions
+        return build(jnp.asarray(pos, jnp.float32), grid_resolutions)

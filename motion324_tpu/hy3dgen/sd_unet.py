@@ -69,8 +69,23 @@ class _Attention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        if mask is not None:
-            # voxel-locality masked attention (turbo multiview mode,
+        if isinstance(mask, tuple):
+            # voxel-locality turbo attention with the mask IMPLICIT in
+            # per-token cell positions — the Pallas kernel recomputes it per
+            # tile, so no (S, S) mask/logits ever materialise (the dense
+            # form is 600 MB at product resolution). mask = (positions, r).
+            from motion324_tpu.ops.masked_attention import \
+                masked_flash_attention
+            positions, radius = mask
+            out = masked_flash_attention(
+                q.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3),
+                k.reshape(b, lc, self.heads, hd).transpose(0, 2, 1, 3),
+                v.reshape(b, lc, self.heads, hd).transpose(0, 2, 1, 3),
+                positions, radius=float(radius),
+                interpret=jax.default_backend() != "tpu")
+            out = out.transpose(0, 2, 1, 3)
+        elif mask is not None:
+            # dense voxel-locality mask (small shapes / tests,
             # reference modules.py:206-237): plain XLA with an additive bias
             qh = q.reshape(b, l, self.heads, hd).transpose(0, 2, 1, 3)
             kh = k.reshape(b, lc, self.heads, hd).transpose(0, 2, 1, 3)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 __all__ = ["voxel_grid_mask", "multi_resolution_mask",
+           "voxel_positions", "multi_resolution_positions",
            "discrete_voxel_indices", "multi_resolution_voxel_indices"]
 
 
@@ -59,6 +60,30 @@ def multi_resolution_mask(position_maps, grid_resolutions=(32, 16, 8)):
     for g in grid_resolutions:
         m = voxel_grid_mask(position_maps, g)
         out[m.shape[1]] = m
+    return out
+
+
+def voxel_positions(position, grid_resolution: int = 8):
+    """(B, N, H, W, 3) position maps -> ((B, N*L, 3) cell means, radius).
+
+    The IMPLICIT form of :func:`voxel_grid_mask`: the mask is exactly
+    ``||p_i - p_j|| < radius`` over these per-token positions, evaluated
+    tile-by-tile inside :func:`motion324_tpu.ops.masked_attention.
+    masked_flash_attention` instead of materialising (S, S).
+    """
+    b, n = position.shape[:2]
+    g = grid_resolution
+    mean, _ = _cell_means(position, g)
+    return mean.reshape(b, n * g * g, 3), 1.73 / g
+
+
+def multi_resolution_positions(position_maps, grid_resolutions=(32, 16, 8)):
+    """Dict keyed by joint token count -> (positions, radius) tuples, the
+    kernel-friendly equivalent of :func:`multi_resolution_mask`."""
+    out = {}
+    for g in grid_resolutions:
+        pos, radius = voxel_positions(position_maps, g)
+        out[pos.shape[1]] = (pos, radius)
     return out
 
 

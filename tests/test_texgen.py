@@ -281,3 +281,69 @@ def test_delight_diffusion_editor_interface():
     e1 = ed(img, num_steps=2, seed=0)
     e2 = ed(rng.rand(40, 40, 3).astype(np.float32), num_steps=2, seed=0)
     assert not np.allclose(e1, e2)
+
+
+def test_masked_flash_attention_matches_dense():
+    """The implicit-mask Pallas kernel must match dense where(mask)-softmax
+    attention, with the mask built from the SAME positions/radius."""
+    import jax
+    import jax.numpy as jnp
+    from motion324_tpu.ops.masked_attention import masked_flash_attention
+
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 2, 160, 16  # padded-seq path (160 -> 256)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    # clustered positions incl. a block of "empty" cells at the origin
+    pos = rng.random((b, s, 3)).astype(np.float32)
+    pos[:, :24] = 0.0
+    radius = 0.35
+
+    out = masked_flash_attention(q, k, v, jnp.asarray(pos), radius=radius,
+                                 interpret=True)
+
+    dist = np.linalg.norm(pos[:, :, None] - pos[:, None, :], axis=-1)
+    mask = jnp.asarray(dist < radius)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    logits = jnp.where(mask[:, None], logits, -1e9)
+    ref = jnp.einsum("bhqk,bhkd->bhqd",
+                     jax.nn.softmax(logits, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_unet_turbo_implicit_matches_dense_mask():
+    """UNet multiview attention: (positions, radius) tuples through the
+    masked kernel == dense boolean masks through the XLA branch."""
+    import jax
+    import jax.numpy as jnp
+    from motion324_tpu.hy3dgen.sd_unet import UNet2p5D
+    from motion324_tpu.hy3dgen.voxel_attention import (multi_resolution_mask,
+                                                       multi_resolution_positions)
+
+    rng = np.random.default_rng(1)
+    n_views, hw = 2, 16
+    # position maps with a foreground blob per view
+    pmaps = np.ones((1, n_views, hw, hw, 3), np.float32)
+    pmaps[:, :, 4:12, 4:12] = rng.random((1, n_views, 8, 8, 3)) * 0.9
+    pmaps = jnp.asarray(pmaps)
+    grids = (4,)  # 2 views x 16 cells = 32 joint tokens
+    dense = multi_resolution_mask(pmaps, grids)
+    implicit = multi_resolution_positions(pmaps, grids)
+    assert set(dense) == set(implicit)
+
+    unet = UNet2p5D(in_channels=4, block_channels=(8, 8, 8, 8), head_dim=4,
+                    context_dim=16, tf_depth=1)
+    x = jnp.asarray(rng.standard_normal((n_views, 32, 32, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((n_views, 3, 16)), jnp.float32)
+    t = jnp.zeros((n_views,))
+    params = unet.init(jax.random.PRNGKey(0), x, t, ctx, None, n_views, "")
+    # token counts per stage: 32x32 latents -> joint 2*16=32 only at the
+    # 4x4-token stage (32/8 = 4 after 3 downsamples)
+    out_dense = unet.apply(params, x, t, ctx, None, n_views, "",
+                           mva_masks=dense)
+    out_impl = unet.apply(params, x, t, ctx, None, n_views, "",
+                          mva_masks=implicit)
+    np.testing.assert_allclose(np.asarray(out_impl), np.asarray(out_dense),
+                               atol=5e-5, rtol=5e-5)
