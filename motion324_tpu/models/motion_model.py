@@ -67,6 +67,7 @@ class ModelConfig:
     dino_heads: int = 12       # no projection layer — reference relies on 768==768)
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str | None = None  # 'save_attn': keep flash residuals
     attn_backend: str | None = None
 
     @classmethod
@@ -83,6 +84,7 @@ class ModelConfig:
             frames=cfg.training.frames, dtype=dt,
             decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 2)),
             remat=cfg.training.get("remat", False) if remat is None else remat,
+            remat_policy=cfg.training.get("remat_policy", None),
             attn_backend=attn_backend,
         )
 
@@ -129,7 +131,11 @@ class _PointDecoderFrame(nn.Module):
     Scanned over T with BROADCAST params (``variable_axes={'params': None}``):
     the backward pass recomputes per frame, so peak activation memory is one
     frame's worth instead of B*T*N*4C (which OOMs a 16 GB chip at the dyscene
-    training shapes).
+    training shapes). ``feats`` rides as an ``nn.broadcast`` input — NOT the
+    scan carry — so the loop-invariant point features are saved ONCE for the
+    backward instead of stacked per step (a chunk-replicated carry cost
+    2.4 GB at the dyscene batch-32 shapes); the chunk-fold broadcast happens
+    inside the (rematted) step and is recomputed for free.
     """
 
     dim: int
@@ -139,7 +145,13 @@ class _PointDecoderFrame(nn.Module):
     attn_backend: str | None = None
 
     @nn.compact
-    def __call__(self, feats, tokens_t):
+    def __call__(self, carry, feats, tokens_t):
+        cb = tokens_t.shape[0]
+        b = feats.shape[0]
+        if cb != b:  # `chunk` frames folded into the step's batch axis
+            feats = jnp.broadcast_to(
+                feats[None], (cb // b,) + feats.shape).reshape(
+                    (cb,) + feats.shape[1:])
         x = CrossAttentionBlock(dim=self.dim, head_dim=self.head_dim,
                                 use_qk_norm=self.use_qk_norm, dtype=self.dtype,
                                 attn_backend=self.attn_backend,
@@ -148,7 +160,7 @@ class _PointDecoderFrame(nn.Module):
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x))
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(3, dtype=self.dtype, name="head_fc2")(x)
-        return feats, x
+        return carry, x
 
 
 class MotionLatentModel(nn.Module):
@@ -198,12 +210,17 @@ class MotionLatentModel(nn.Module):
         grid = c.image_size // c.patch_size
         self.frame_tokens = 4 + c.tokens + grid * grid  # [special|mesh|image]
         self.alternating_blocks = stack_blocks(
-            AlternatingPair, n_pairs, remat=c.remat, name="alternating_blocks",
+            AlternatingPair, n_pairs, remat=c.remat,
+            remat_policy=c.remat_policy, name="alternating_blocks",
             frame_tokens=self.frame_tokens, **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
-        self.input_layernorm = nn.LayerNorm(use_bias=False, epsilon=1e-5,
-                                            dtype=c.dtype, name="input_layernorm")
+        # remat: flax LayerNorm otherwise saves ~3 f32 copies of the full
+        # (B, T, 324, C) token tensor for its backward (1.15 GB at the
+        # dyscene batch-32 shapes); recomputing a LayerNorm is ~free
+        ln_cls = nn.remat(nn.LayerNorm) if c.remat else nn.LayerNorm
+        self.input_layernorm = ln_cls(use_bias=False, epsilon=1e-5,
+                                      dtype=c.dtype, name="input_layernorm")
 
         # per-frame decoder (cross-attn + LayerNorm->Dense->GELU->Dense(3) head
         # with biases, reference :336-341), scanned over T with shared params
@@ -213,7 +230,7 @@ class MotionLatentModel(nn.Module):
             frame_cls,
             variable_broadcast="params",  # same weights every frame
             split_rngs={"params": False, "dropout": True},
-            in_axes=0, out_axes=0,
+            in_axes=(nn.broadcast, 0), out_axes=0,
         )(dim=c.feat_dim, head_dim=c.head_dim, use_qk_norm=c.use_qk_norm,
           dtype=c.dtype, attn_backend=c.attn_backend, name="point_decoder")
 
@@ -305,16 +322,15 @@ class MotionLatentModel(nn.Module):
         chunk = self.cfg.decode_frames_chunk
         if chunk > 1 and t % chunk == 0 and t > chunk:
             k = pcd_tokens.shape[2]
-            # (B, T, K, C) -> (T/c, c*B, K, C), frame-major within each step
+            # (B, T, K, C) -> (T/c, c*B, K, C), frame-major within each step;
+            # feats broadcasts to c*B INSIDE the scanned step
             tokens_t = pcd_tokens.transpose(1, 0, 2, 3).reshape(
                 t // chunk, chunk * b, k, d)
-            feats_rep = jnp.broadcast_to(
-                feats[None], (chunk, b, n, d)).reshape(chunk * b, n, d)
-            _, outs = self.point_decoder(feats_rep, tokens_t)
+            _, outs = self.point_decoder((), feats, tokens_t)
             outs = outs.reshape(t // chunk, chunk, b, n, 3).reshape(t, b, n, 3)
         else:
             tokens_t = pcd_tokens.transpose(1, 0, 2, 3)  # (T, B, K, C)
-            _, outs = self.point_decoder(feats, tokens_t)  # (T, B, N, 3)
+            _, outs = self.point_decoder((), feats, tokens_t)  # (T, B, N, 3)
         return outs.transpose(1, 0, 2, 3).astype(jnp.float32)
 
     def __call__(self, sample, train: bool = False):

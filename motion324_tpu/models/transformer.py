@@ -38,16 +38,18 @@ def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
     wraps the block in ``nn.remat`` (the jax.checkpoint analogue of the
     reference's torch.utils.checkpoint layer groups, model/Pcd_motion.py:375-448).
 
-    ``remat_policy='save_attn'`` keeps the NAMED attention outputs resident
-    instead of recomputing them in the backward. On an ISOLATED 2-block
-    microbench this is 4.4x faster fwd+bwd, but in the full dyscene step the
-    extra ~1.5-3 GB of saved activations pushes the 15.75 GB chip into worse
-    scheduling and the step REGRESSES (4.17 -> 4.43 s) — hence default None
-    (full remat). Revisit on larger-HBM parts or smaller per-chip batches.
+    ``remat_policy='save_attn'`` keeps the flash kernel's RESIDUALS (the
+    padded output + 8-lane logsumexp, named inside the custom-vjp forward)
+    resident, which lets the backward DCE the flash-forward replay entirely
+    and run the backward kernel directly. Memory: ~240 MB/global layer at the
+    dyscene batch-32 shapes. An earlier variant that saved the post-reshape
+    attention *outputs* could not skip the kernel replay (the residual lse
+    was not derivable) and regressed at batch 32; this one is A/B'd via
+    bench_train.
     """
     if remat and remat_policy == "save_attn":
         policy = jax.checkpoint_policies.save_only_these_names(
-            "attn_out", "gattn_out")
+            "flash_o", "flash_lse")
         inner_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
     elif remat:
         inner_cls = nn.remat(block_cls, prevent_cse=False)

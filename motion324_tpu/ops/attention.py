@@ -73,7 +73,7 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
 
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
-        sq_p = -(-q.shape[1] // 128) * 128
+        sq_p = -(-q.shape[1] // 16) * 16   # short kernel pads sq to 16s
         sk_p = -(-k.shape[1] // 128) * 128
         if not on_tpu:
             backend = "xla"

@@ -10,9 +10,12 @@ Padded KV columns are masked with a large negative logit; Q/K/V/dO are zero-padd
 which keeps every intermediate finite and makes padded-row contributions to
 dK/dV exactly zero (dO rows are zero => dS rows are zero).
 
-The logsumexp saved for backward uses the TPU-native lane-replicated layout
-``(BH, S, 128)`` (a (1, bq) block is not lowerable; a (bq, 128) lane tile is),
-and is only emitted when the call is being differentiated. The backward pass is
+The logsumexp saved for backward is lane-replicated ``(BH, S, 8)`` (a (1, bq)
+block is not lowerable; 8 lanes is the minimum sublane tile and costs 16x less
+HBM than 128-lane replication), and is only emitted when the call is being
+differentiated. Block sizes prefer PAD-FREE exact divisors of the sequence
+length (see ``_pick_block``): the dyscene global sequence 3888 = 3 x 1296 runs
+with zero row padding. The backward pass is
 the standard two-kernel flash backward; ``delta = rowsum(dO * O)`` is computed
 in-kernel from the saved output instead of materialising a broadcast array.
 """
@@ -25,13 +28,19 @@ import os
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["flash_attention"]
 
 NEG_INF = -1e30
-_LANES = 128  # TPU lane width; row statistics are stored lane-replicated
+# lse OUTPUT lane replication: 8 lanes (the minimum lowerable sublane tile,
+# proven by the short kernel) — 16x less HBM write/read than 128-lane
+# replication (805 -> 50 MB/layer at the dyscene global-attention shapes).
+# In-kernel m/l SCRATCH stays at 128 lanes (native VPU register tile).
+_LANES = 8
+_SCR_LANES = 128
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -188,8 +197,8 @@ def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _SCR_LANES), jnp.float32),
+            pltpu.VMEM((block_q, _SCR_LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -330,9 +339,10 @@ def _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
     skv = k.shape[1]
     # tile budget: s/p/dp/ds live at (bq, bkv) f32 + the (skv, d) f32 dk/dv
     # scratch; the caps keep the working set well inside VMEM (A/B'd on
-    # hardware via bench_train)
-    block_q = min(block_q, _FUSED_BQ)
-    block_kv = min(block_kv, _FUSED_BKV)
+    # hardware via bench_train). Blocks must divide the padded lengths
+    # (pad-free forward blocks like 1296 exceed the caps -> e.g. 432 here).
+    block_q = _pick_div(sq, min(block_q, _FUSED_BQ))
+    block_kv = _pick_div(skv, min(block_kv, _FUSED_BKV), granule=128)
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda b, iq, ikv: (b, iq, 0))
     kv_spec = pl.BlockSpec((1, block_kv, d), lambda b, iq, ikv: (b, ikv, 0))
@@ -367,9 +377,10 @@ def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # the backward kernels hold s/p/dp/ds tiles at once; block caps tuned on
-    # hardware (see scripts/check_tpu_kernels.py + bench_train)
-    block_q = min(block_q, 1024)
-    block_kv = min(block_kv, 1024)
+    # hardware (see scripts/check_tpu_kernels.py + bench_train); blocks must
+    # divide the (padded) sequence lengths
+    block_q = _pick_div(sq, min(block_q, 1024))
+    block_kv = _pick_div(skv, min(block_kv, 1024), granule=128)
     params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"))
 
@@ -426,6 +437,14 @@ def _flash_core(q, k, v, kv_len, block_q, block_kv, interpret):
 def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
     o, lse = _fwd(q, k, v, kv_len, block_q, block_kv, interpret,
                   with_lse=True)
+    # Named so a remat policy (save_only_these_names) can keep the kernel's
+    # residuals resident: with BOTH outputs saved, the recompute graph under
+    # jax.checkpoint DCEs the forward kernel entirely and the backward kernel
+    # runs directly — no flash-forward replay (verified: grad jaxpr loses the
+    # fwd pallas_call; gradients bit-identical). checkpoint_name is identity
+    # when no policy is active.
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, o, lse)
 
 
@@ -454,24 +473,59 @@ def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-def _pick_block(seq: int, target: int) -> int:
-    """Block size minimising padding for short sequences, ``target`` for long.
+def _pick_block(seq: int, target: int, granule: int = 16) -> int:
+    """Block size minimising padding; prefers a PAD-FREE exact divisor.
 
-    For seq >= target the target block wins (big MXU tiles, negligible
-    padding). Below that, pick the power-of-two block (>= 128) whose padded
-    length is smallest — e.g. seq 324 pads to 384 with blocks of 128 instead
-    of 512 with blocks of 256 (2.5x less wasted work).
+    First choice: the largest ``granule``-multiple divisor of the
+    granule-padded length within [max(128, target/2), 1.5*target] — e.g. the
+    dyscene global sequence 3888 runs at bq 1296 x 3 blocks with ZERO row
+    padding instead of padding to 4096 at bq 1024. Queries use granule 16
+    (sublane tiling); KV uses granule 128 (lane tiling of the logit tiles),
+    where an exact fit rarely exists and the fallback applies.
+
+    Fallback: seq >= target -> target; below that the power-of-two block
+    (>= 128) whose padded length is smallest — e.g. seq 324 pads to 384 with
+    blocks of 128 instead of 512 with blocks of 256.
     """
+    seq_g = _ceil_to(seq, granule)
+    lo, hi = max(128, target // 2), target + target // 2
+    exact = 0
+    d = lo
+    while d <= min(seq_g, hi):
+        if seq_g % d == 0:
+            exact = d
+        d += granule
+    # fallback choice (old behaviour)
     if seq >= target:
-        return target
-    best = 128
-    best_pad = _ceil_to(seq, 128)
-    b = 256
-    while b <= target:
-        if _ceil_to(seq, b) <= best_pad:
-            best, best_pad = b, _ceil_to(seq, b)
-        b *= 2
-    return best
+        fall = target
+    else:
+        fall = 128
+        b = 256
+        while b <= target:
+            if _ceil_to(seq, b) <= _ceil_to(seq, fall):
+                fall = b
+            b *= 2
+    if exact and _ceil_to(seq, exact) <= _ceil_to(seq, fall):
+        return exact
+    return fall
+
+
+def _pick_div(seq_p: int, cap: int, granule: int = 16) -> int:
+    """Largest ``granule``-multiple divisor of ``seq_p`` that is <= ``cap``
+    (for backward kernels, whose blocks must tile the already-padded length).
+    Falls back to 16-granule (which always divides: padded lengths are
+    multiples of a 16-multiple forward block) when no ``granule``-multiple
+    divisor exists."""
+    for g in (granule, 16):
+        best = 0
+        d = g
+        while d <= min(seq_p, cap):
+            if seq_p % d == 0:
+                best = d
+            d += g
+        if best:
+            return best
+    return seq_p  # seq_p < 16: single block
 
 
 def flash_attention(q, k, v, *, scale: float | None = None,
@@ -494,8 +548,8 @@ def flash_attention(q, k, v, *, scale: float | None = None,
     if scale is None:
         scale = 1.0 / math.sqrt(d)
 
-    bq = _pick_block(sq, block_q)
-    bkv = _pick_block(sk, block_kv)
+    bq = _pick_block(sq, block_q)                 # sublane dim: 16-granule
+    bkv = _pick_block(sk, block_kv, granule=128)  # lane dim: 128-granule
     sq_p = _ceil_to(sq, bq)
     sk_p = _ceil_to(sk, bkv)
 

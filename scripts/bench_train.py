@@ -24,6 +24,14 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--decode-chunk", type=int, default=1,
                    help="frames per point-decoder scan step (HBM permitting)")
+    p.add_argument("--remat-policy", default=None,
+                   help="'save_attn' keeps flash residuals (skips the "
+                        "flash-forward replay in backward)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation steps: the per-chip batch "
+                        "runs as `accum` micro-batches of batch/accum "
+                        "(smaller live working sets schedule better; "
+                        "equivalent optimizer math)")
     args = p.parse_args(argv)
 
     import jax
@@ -42,10 +50,17 @@ def main(argv=None):
     mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=True)
     if args.decode_chunk != 1:
         mcfg = dataclasses.replace(mcfg, decode_frames_chunk=args.decode_chunk)
+    if args.remat_policy:
+        mcfg = dataclasses.replace(mcfg, remat_policy=args.remat_policy)
     model = MotionLatentModel(mcfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size
     b, t_frames, s, n = args.batch * n_dev, 12, 4096, 4096
+
+    accum = max(1, args.accum)
+    if args.batch % accum:
+        raise SystemExit("--batch must be divisible by --accum")
+    cfg.training.grad_accum_steps = accum
 
     r = np.random.RandomState(0)
     f32 = lambda *shape: jnp.asarray(r.rand(*shape).astype(np.float32))
@@ -56,16 +71,22 @@ def main(argv=None):
         "rgb_video": f32(b, t_frames, 224, 224, 3),
         "point_clouds": f32(b, t_frames, n, 3),
     }
-
     t0 = time.perf_counter()
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    if accum > 1:
+        # (accum, micro_b, ...) leading layout consumed by the accum scan
+        batch = jax.tree.map(
+            lambda a: a.reshape((accum, b // accum) + a.shape[1:]), batch)
     jax.tree.map(lambda a: a.block_until_ready(), params)
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     tx, _ = create_optimizer(cfg)
     state = TrainState.create(params, tx)
     step = build_train_step(model, tx, cfg, mesh)
-    batch_s = jax.device_put(batch, batch_sharding(mesh))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bspec = NamedSharding(mesh, P(None, "dp")) if accum > 1 \
+        else batch_sharding(mesh)
+    batch_s = jax.device_put(batch, bspec)
 
     t0 = time.perf_counter()
     state, m = step(state, batch_s, jax.random.PRNGKey(1))
