@@ -320,7 +320,7 @@ class MotionLatentModel(nn.Module):
         # Fold `chunk` frames into the batch axis per scan step: fewer, larger
         # device ops (a 12-step scan of per-frame work is overhead-bound).
         chunk = self.cfg.decode_frames_chunk
-        if chunk > 1 and t % chunk == 0 and t > chunk:
+        if chunk > 1 and t % chunk == 0:
             k = pcd_tokens.shape[2]
             # (B, T, K, C) -> (T/c, c*B, K, C), frame-major within each step;
             # feats broadcasts to c*B INSIDE the scanned step

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from motion324_tpu.ops.flash_attention import flash_attention
+from motion324_tpu.ops.folded_attention import folded_attention
 from motion324_tpu.ops.short_attention import short_attention
 
 __all__ = ["multi_head_attention", "mha_reference"]
@@ -67,13 +68,9 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
     Returns:
       ``(B, Sq, H, D)``.
     """
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
-        sq_p = -(-q.shape[1] // 16) * 16   # short kernel pads sq to 16s
+        sq_p = -(-q.shape[1] // 16) * 16   # short kernels pad sq to 16s
         sk_p = -(-k.shape[1] // 128) * 128
         if not on_tpu:
             backend = "xla"
@@ -84,15 +81,30 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
         else:
             backend = "xla"
 
+    if backend in ("short", "short_interpret"):
+        # head-folded kernel: heads stay in LANE slices of the model-native
+        # (B, S, H*D) layout — dense DMAs, no transposes on either side,
+        # 2.8x the (B*H, S, D)-sliced short kernel on hardware
+        b, sq, h, d = q.shape
+        sk = k.shape[1]
+        out = folded_attention(
+            q.reshape(b, sq, h * d), k.reshape(b, sk, h * d),
+            v.reshape(b, sk, h * d), heads=h, scale=scale,
+            interpret=backend == "short_interpret")
+        return out.reshape(b, sq, h, d)
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
     if backend == "xla":
         out = mha_reference(qt, kt, vt, scale=scale)
     elif backend == "flash":
         out = flash_attention(qt, kt, vt, scale=scale)
-    elif backend == "short":
+    elif backend == "short_legacy":
         out = short_attention(qt, kt, vt, scale=scale)
     elif backend == "interpret":
         out = flash_attention(qt, kt, vt, scale=scale, interpret=True)
-    elif backend == "short_interpret":
+    elif backend == "short_legacy_interpret":
         out = short_attention(qt, kt, vt, scale=scale, interpret=True)
     else:
         raise ValueError(f"unknown attention backend {backend!r}")

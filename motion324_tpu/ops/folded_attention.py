@@ -1,0 +1,196 @@
+"""Head-folded Pallas attention for short sequences (dense (B, S, H*D) blocks).
+
+The ``short_attention`` kernel tiles ``(B*H, S, D)`` slices, but a D=64 minor
+dim is physically padded to the 128-lane tile by XLA — every DMA moves 2x the
+data — and each grid step does a handful of tiny matmuls (measured 7.7 ms for
+one DINOv2-shaped layer at batch 384). This kernel keeps tokens in the
+MODEL-NATIVE ``(B, S, H*D)`` layout (dense lanes, no (B,S,H,D)->(B,H,S,D)
+transpose on either side) and loops the heads INSIDE the kernel over
+lane-slices of one dense block: same math, 2.8x faster on hardware (2.8 ms)
+and bit-identical to ``short_attention``.
+
+Replaces the reference's xformers attention for the short-sequence call sites
+(local frame attention, DINOv2; reference: model/transformer.py:134-139,
+model/image_encoder/dinov2.py:65-124). Whole KV resident in VMEM; softmax is
+single-pass; the backward is one kernel computing dq/dk/dv per head from the
+saved per-head logsumexp.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["folded_attention"]
+
+NEG_INF = -1e30
+# images (batch rows) per grid step; fwd A/B on hardware: bi=2 best (bi=4
+# exceeds scoped VMEM at the DINO shapes); backward holds ~4 extra f32
+# logit tiles so it runs at bi=1
+_FWD_BI = int(os.environ.get("MOTION324_FOLDED_BI", 2))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int, hd: int,
+                kv_len: int):
+    q = q_ref[:]  # (bi, Sq, H*hd), pre-scaled
+    k = k_ref[:]
+    v = v_ref[:]
+    sk = k.shape[1]
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(q[..., sl], k[..., sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if kv_len != sk:  # static: mask padded KV columns
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=2, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=2, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v[..., sl],
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
+        lse_ref[:, :, h] = (m + jnp.log(l))[..., 0]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, *, heads: int, hd: int, kv_len: int):
+    q, k, v = q_ref[:], k_ref[:], v_ref[:]
+    o, do = o_ref[:], do_ref[:]
+    sk = k.shape[1]
+    for h in range(heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
+        doh = do[..., sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if kv_len != sk:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[:, :, h][..., None])
+        pb = p.astype(doh.dtype)
+        # dv = p^T @ do (contract Sq); padded-q rows have zero do => no leak
+        dv_ref[:, :, sl] = jax.lax.dot_general(
+            pb, doh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        delta = jnp.sum(doh.astype(jnp.float32) * o[..., sl].astype(jnp.float32),
+                        axis=2, keepdims=True)
+        dp = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qh.dtype)
+        dq_ref[:, :, sl] = jax.lax.dot_general(
+            ds, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = jax.lax.dot_general(
+            ds, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _pick_bi(b: int, bi: int, sq_p: int, sk_p: int, budget_mb: float) -> int:
+    # VMEM guard: dominant cost is the per-head f32 logit tile + dense blocks
+    while bi > 1 and bi * sq_p * sk_p * 4 > budget_mb * 1024 * 1024:
+        bi //= 2
+    while b % bi:
+        bi //= 2
+    return max(bi, 1)
+
+
+def _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    spec = pl.BlockSpec((bi, sq, c), lambda i: (i, 0, 0))
+    kspec = pl.BlockSpec((bi, sk, c), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, hd=hd, kv_len=kv_len),
+        grid=(b // bi,),
+        in_specs=[spec, kspec, kspec],
+        out_specs=[spec, pl.BlockSpec((bi, sq, heads), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, sq, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _folded_core(q, k, v, heads, hd, kv_len, bi, interpret):
+    o, _ = _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret)
+    return o
+
+
+def _folded_core_fwd(q, k, v, heads, hd, kv_len, bi, interpret):
+    o, lse = _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _folded_core_bwd(heads, hd, kv_len, bi, interpret, res, do):
+    q, k, v, o, lse = res
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    bbi = _pick_bi(b, max(bi // 2, 1), sq, sk, budget_mb=6)
+    spec = pl.BlockSpec((bbi, sq, c), lambda i: (i, 0, 0))
+    kspec = pl.BlockSpec((bbi, sk, c), lambda i: (i, 0, 0))
+    lspec = pl.BlockSpec((bbi, sq, heads), lambda i: (i, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, heads=heads, hd=hd, kv_len=kv_len),
+        grid=(b // bbi,),
+        in_specs=[spec, kspec, kspec, spec, spec, lspec],
+        out_specs=[spec, kspec, kspec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv
+
+
+_folded_core.defvjp(_folded_core_fwd, _folded_core_bwd)
+
+
+def folded_attention(q, k, v, *, heads: int, scale: float | None = None,
+                     block_b: int | None = None, interpret: bool = False):
+    """Exact multi-head attention over model-native ``(B, S, H*D)`` tensors.
+
+    Args:
+      q: ``(B, Sq, H*D)``; k, v: ``(B, Sk, H*D)`` — heads live in lane
+        slices, so no transposes are needed on either side.
+      heads: number of heads H (``D = C / H``).
+      scale: logit scale, default ``1/sqrt(D)``.
+      block_b: batch rows per grid step (auto VMEM-guarded).
+      interpret: interpreter mode for CPU tests.
+
+    Returns ``(B, Sq, H*D)`` in q's dtype.
+    """
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    hd = c // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+    sq_p = _ceil_to(sq, 16)   # sublane granule (covers bf16 and f32)
+    sk_p = _ceil_to(sk, 128)  # lane granule of the logit tiles
+
+    qf = q * jnp.asarray(scale, q.dtype)
+    if sq_p != sq:
+        qf = jnp.pad(qf, ((0, 0), (0, sq_p - sq), (0, 0)))
+    if sk_p != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_p - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
+
+    bi = _pick_bi(b, block_b if block_b is not None else _FWD_BI,
+                  sq_p, sk_p, budget_mb=10)
+    o = _folded_core(qf, k, v, heads, hd, sk, bi, interpret)
+    return o[:, :sq]

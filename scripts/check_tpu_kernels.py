@@ -84,6 +84,23 @@ def main():
     check("flash  bf16 (1,16,8192x512,64)", flash_attention, 1, 16,
           (8192, 512), 64, jnp.bfloat16, 3e-2)
 
+    # head-folded short kernel ((B, S, H*D) layout — local attention, DINOv2)
+    from motion324_tpu.ops.folded_attention import folded_attention
+
+    def folded_bhsd(q, k, v):
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+        fold = lambda x, s: x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        o = folded_attention(fold(q, sq), fold(k, sk), fold(v, sk), heads=h)
+        return o.reshape(b, sq, h, d).transpose(0, 2, 1, 3)
+
+    check("folded bf16 (8,12,324,64)", folded_bhsd, 8, 12, 324, 64,
+          jnp.bfloat16, 3e-2)
+    check("folded bf16 (16,12,257,64)", folded_bhsd, 16, 12, 257, 64,
+          jnp.bfloat16, 3e-2)
+    check("folded f32  (4,4,324,64)", folded_bhsd, 4, 4, 324, 64,
+          jnp.float32, 8e-3)
+
     if failures:
         print(f"FAILED: {failures}")
         return 1

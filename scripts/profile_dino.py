@@ -27,7 +27,8 @@ def timed(name, fn, *args, flops=None):
     t0 = time.perf_counter()
     float(jf(*args))
     dt = (time.perf_counter() - t0) / ITERS
-    tf = (flops or 0) / dt / 1e12
+    # `flops` is the TOTAL over all ITERS chained iterations; dt is per-iter
+    tf = (flops or 0) / ITERS / dt / 1e12
     print(f"{name:26s} {dt * 1e3:8.2f} ms"
           + (f"  {tf:6.1f} TF/s" if flops else ""), flush=True)
 

@@ -178,3 +178,63 @@ def test_fused_and_twokernel_backwards_agree():
         fa._FUSED_BWD_MAX_KV = old
     for a, b_ in zip(grads["fused"], grads["twokernel"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+@pytest.mark.parametrize("sq,sk", [(257, 257), (324, 324), (100, 640)])
+def test_folded_forward_matches_reference(sq, sk):
+    """Head-folded (B, S, H*D) kernel vs exact attention, incl. padded
+    query rows (257 -> 272) and masked KV columns."""
+    from motion324_tpu.ops.folded_attention import folded_attention
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, h, d = 3, 4, 64
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    out = folded_attention(
+        q.transpose(0, 2, 1, 3).reshape(b, sq, h * d),
+        k.transpose(0, 2, 1, 3).reshape(b, sk, h * d),
+        v.transpose(0, 2, 1, 3).reshape(b, sk, h * d),
+        heads=h, interpret=True)
+    ref = mha_reference(q, k, v).transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_folded_gradients_match_reference():
+    from motion324_tpu.ops.folded_attention import folded_attention
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(6), 4)
+    b, h, sq, sk, d = 2, 3, 257, 324, 32
+    q = _rand(kq, (b, h, sq, d))
+    k = _rand(kk, (b, h, sk, d))
+    v = _rand(kv, (b, h, sk, d))
+    cot = _rand(kg, (b, sq, h * d))
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2],
+                                                     h * d)
+
+    def loss_folded(q, k, v):
+        return jnp.sum(folded_attention(fold(q), fold(k), fold(v), heads=h,
+                                        interpret=True) * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fold(mha_reference(q, k, v)) * cot)
+
+    g1 = jax.grad(loss_folded, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_dispatcher_short_path_uses_folded_layout():
+    """multi_head_attention 'short' backend must equal the XLA reference on
+    the (B, S, H, D) sequence-major contract."""
+    from motion324_tpu.ops.attention import multi_head_attention
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, sq, sk, h, d = 2, 257, 257, 4, 16
+    q = _rand(kq, (b, sq, h, d))
+    k = _rand(kk, (b, sk, h, d))
+    v = _rand(kv, (b, sk, h, d))
+    out = multi_head_attention(q, k, v, backend="short_interpret")
+    ref = multi_head_attention(q, k, v, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
