@@ -42,7 +42,8 @@ assert process_seed(7) == 7 + pid
 
 mesh = make_mesh()  # 8 global devices over 2 processes
 cfg = load_config("configs/dyscene.yaml",
-                  ["training.warmup=2", "training.train_steps=10"])
+                  ["training.warmup=2", "training.train_steps=10",
+                   "training.grad_accum_steps=1"])
 mcfg = ModelConfig(feat_dim=96, tokens=8, pcd_layers=1,
                    n_alternating_layers=2, head_dim=32, frames=2,
                    image_size=28, patch_size=14, dino_depth=1, dino_heads=3)

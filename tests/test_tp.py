@@ -56,7 +56,7 @@ def test_tp_specs_shard_transformer_kernels():
 def test_gspmd_tp_step_matches_shard_map_dp():
     cfg = load_config("configs/dyscene.yaml",
                       ["training.warmup=2", "training.train_steps=100",
-                       "training.lr=1e-3",
+                       "training.lr=1e-3", "training.grad_accum_steps=1",
                        "training.allowed_gradnorm_factor=1e9"])
     model = MotionLatentModel(SMALL)
     batch = _batch(jax.random.PRNGKey(0))

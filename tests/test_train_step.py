@@ -35,7 +35,7 @@ def _batch(key, b=8, s=16, n=8, t=2, h=28, w=28):
 def _shared():
     cfg = load_config("configs/dyscene.yaml",
                       ["training.warmup=2", "training.train_steps=100",
-                       "training.lr=1e-3",
+                       "training.lr=1e-3", "training.grad_accum_steps=1",
                        "training.allowed_gradnorm_factor=1e9"])
     mesh = make_mesh()
     model = MotionLatentModel(SMALL)
@@ -120,6 +120,7 @@ def test_grad_accumulation_matches_big_batch():
     # one big batch, accum=1
     cfg1 = load_config("configs/dyscene.yaml", ["training.warmup=0",
                                                 "training.train_steps=100",
+                                                "training.grad_accum_steps=1",
                                                 "training.lr=1e-2"])
     state_b = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
     step_big = build_train_step(model, tx, cfg1, mesh)
@@ -152,7 +153,7 @@ def test_bf16_grad_allreduce_close_to_f32(_shared):
     cfg, mesh, model, batch, params_np, tx, step_f32 = _shared
     cfg16 = load_config("configs/dyscene.yaml",
                         ["training.warmup=2", "training.train_steps=100",
-                         "training.lr=1e-3",
+                         "training.lr=1e-3", "training.grad_accum_steps=1",
                          "training.allowed_gradnorm_factor=1e9",
                          "training.bf16_grad_allreduce=true"])
     step_bf16 = build_train_step(model, tx, cfg16, mesh)
