@@ -79,6 +79,11 @@ def multi_head_attention(q, k, v, *, scale: float | None = None,
         elif k.shape[1] >= _SHORT_MIN_KV and q.shape[1] >= _SHORT_MIN_Q:
             backend = "short" if sq_p * sk_p <= _SHORT_MAX_AREA else "flash"
         else:
+            # tiny KV (e.g. decoder cross-attention, 4096 points vs 64 mesh
+            # tokens) stays in XLA: routing it through the folded kernel was
+            # A/B'd on v5e and LOST (3479 vs 3411 ms/step) — the kernel's
+            # k/v padding to 128 and q-block streaming cost more than the
+            # XLA path's transposes
             backend = "xla"
 
     if backend in ("short", "short_interpret"):

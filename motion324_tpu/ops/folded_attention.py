@@ -65,10 +65,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int, hd: int,
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, heads: int, hd: int, kv_len: int):
+                dq_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                *, heads: int, hd: int, kv_len: int):
+    iq = pl.program_id(1)
+    nq = pl.num_programs(1)
     q, k, v = q_ref[:], k_ref[:], v_ref[:]
     o, do = o_ref[:], do_ref[:]
     sk = k.shape[1]
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
     for h in range(heads):
         sl = slice(h * hd, (h + 1) * hd)
         qh, kh, vh = q[..., sl], k[..., sl], v[..., sl]
@@ -80,10 +89,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
             s = jnp.where(col < kv_len, s, NEG_INF)
         p = jnp.exp(s - lse_ref[:, :, h][..., None])
         pb = p.astype(doh.dtype)
-        # dv = p^T @ do (contract Sq); padded-q rows have zero do => no leak
-        dv_ref[:, :, sl] = jax.lax.dot_general(
+        # dv = p^T @ do (contract Sq); padded-q rows have zero do => no leak.
+        # dk/dv accumulate in f32 scratch across the q-block grid dim.
+        dv_scr[:, :, sl] += jax.lax.dot_general(
             pb, doh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+            preferred_element_type=jnp.float32)
         delta = jnp.sum(doh.astype(jnp.float32) * o[..., sl].astype(jnp.float32),
                         axis=2, keepdims=True)
         dp = jax.lax.dot_general(doh, vh, (((2,), (2,)), ((0,), (0,))),
@@ -92,67 +102,116 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dq_ref[:, :, sl] = jax.lax.dot_general(
             ds, kh, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-        dk_ref[:, :, sl] = jax.lax.dot_general(
+        dk_scr[:, :, sl] += jax.lax.dot_general(
             ds, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+            preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _flush():
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _pick_bi(b: int, bi: int, sq_p: int, sk_p: int, budget_mb: float) -> int:
-    # VMEM guard: dominant cost is the per-head f32 logit tile + dense blocks
-    while bi > 1 and bi * sq_p * sk_p * 4 > budget_mb * 1024 * 1024:
+def _pick_bi(b: int, bi: int, bq: int, sk_p: int, budget_mb: float,
+             c: int = 768) -> int:
+    # VMEM guard: Pallas double-buffers the streamed blocks (x2 on the dense
+    # q/o and k/v blocks) and the kernel holds one f32 logit tile per head
+    def est(bi):
+        blocks = 2 * (2 * bq * c * 2 + 2 * sk_p * c * 2)
+        return bi * (blocks + bq * sk_p * 4)
+    while bi > 1 and est(bi) > budget_mb * 1024 * 1024:
         bi //= 2
     while b % bi:
         bi //= 2
     return max(bi, 1)
 
 
-def _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret):
+def _pick_bq(sq_p: int, cap: int = 1024) -> int:
+    """Query-block rows: whole sq when small, else the largest 16-multiple
+    divisor of the (re-padded) length within the cap."""
+    if sq_p <= cap:
+        return sq_p
+    best = 16
+    d = 16
+    while d <= cap:
+        if sq_p % d == 0:
+            best = d
+        d += 16
+    return best
+
+
+def _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret):
     b, sq, c = q.shape
     sk = k.shape[1]
-    spec = pl.BlockSpec((bi, sq, c), lambda i: (i, 0, 0))
-    kspec = pl.BlockSpec((bi, sk, c), lambda i: (i, 0, 0))
+    spec = pl.BlockSpec((bi, bq, c), lambda i, iq: (i, iq, 0))
+    kspec = pl.BlockSpec((bi, sk, c), lambda i, iq: (i, 0, 0))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, hd=hd, kv_len=kv_len),
-        grid=(b // bi,),
+        grid=(b // bi, sq // bq),
         in_specs=[spec, kspec, kspec],
-        out_specs=[spec, pl.BlockSpec((bi, sq, heads), lambda i: (i, 0, 0))],
+        out_specs=[spec,
+                   pl.BlockSpec((bi, bq, heads), lambda i, iq: (i, iq, 0))],
         out_shape=[jax.ShapeDtypeStruct((b, sq, c), q.dtype),
                    jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _folded_core(q, k, v, heads, hd, kv_len, bi, interpret):
-    o, _ = _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _folded_core(q, k, v, heads, hd, kv_len, bi, bq, interpret):
+    o, _ = _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret)
     return o
 
 
-def _folded_core_fwd(q, k, v, heads, hd, kv_len, bi, interpret):
-    o, lse = _call_fwd(q, k, v, heads, hd, kv_len, bi, interpret)
+def _folded_core_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret):
+    o, lse = _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret)
     return o, (q, k, v, o, lse)
 
 
-def _folded_core_bwd(heads, hd, kv_len, bi, interpret, res, do):
+def _folded_core_bwd(heads, hd, kv_len, bi, bq, interpret, res, do):
     q, k, v, o, lse = res
     b, sq, c = q.shape
     sk = k.shape[1]
-    bbi = _pick_bi(b, max(bi // 2, 1), sq, sk, budget_mb=6)
-    spec = pl.BlockSpec((bbi, sq, c), lambda i: (i, 0, 0))
-    kspec = pl.BlockSpec((bbi, sk, c), lambda i: (i, 0, 0))
-    lspec = pl.BlockSpec((bbi, sq, heads), lambda i: (i, 0, 0))
+    # the backward streams ~2.25x the forward's dense blocks (q/o/do/dq in
+    # q-block rows + k/v/dk/dv + two f32 kv scratches + live logit tiles):
+    # size (bi, bq) against its own VMEM model
+    def est(bi_, bq_):
+        dense = 2 * (4 * bq_ * c * 2 + 4 * sk * c * 2)  # double-buffered
+        return bi_ * (dense + 2 * sk * c * 4 + 2 * bq_ * sk * 4)
+
+    def shrink_bq(x):
+        x -= 16
+        while x > 16 and sq % x:
+            x -= 16
+        return x
+
+    bq = min(bq, 512)
+    while sq % bq:
+        bq = shrink_bq(bq)
+    bbi = max(bi // 2, 1)
+    while b % bbi:
+        bbi //= 2
+    while bbi > 1 and est(bbi, bq) > 8 * 1024 * 1024:
+        bbi //= 2
+    while bq > 112 and est(1, bq) > 8 * 1024 * 1024:
+        bq = shrink_bq(bq)
+    spec = pl.BlockSpec((bbi, bq, c), lambda i, iq: (i, iq, 0))
+    kspec = pl.BlockSpec((bbi, sk, c), lambda i, iq: (i, 0, 0))
+    lspec = pl.BlockSpec((bbi, bq, heads), lambda i, iq: (i, iq, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads, hd=hd, kv_len=kv_len),
-        grid=(b // bbi,),
+        grid=(b // bbi, sq // bq),
         in_specs=[spec, kspec, kspec, spec, spec, lspec],
         out_specs=[spec, kspec, kspec],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype),
                    jax.ShapeDtypeStruct(k.shape, k.dtype),
                    jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        scratch_shapes=[pltpu.VMEM((bbi, sk, c), jnp.float32),
+                        pltpu.VMEM((bbi, sk, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(q, k, v, o, do, lse)
     return dq, dk, dv
@@ -183,6 +242,10 @@ def folded_attention(q, k, v, *, heads: int, scale: float | None = None,
     sq_p = _ceil_to(sq, 16)   # sublane granule (covers bf16 and f32)
     sk_p = _ceil_to(sk, 128)  # lane granule of the logit tiles
 
+    bq = _pick_bq(sq_p)
+    if sq_p % bq:  # re-pad so q blocks tile exactly (padded rows are inert)
+        sq_p = _ceil_to(sq_p, bq)
+
     qf = q * jnp.asarray(scale, q.dtype)
     if sq_p != sq:
         qf = jnp.pad(qf, ((0, 0), (0, sq_p - sq), (0, 0)))
@@ -191,6 +254,6 @@ def folded_attention(q, k, v, *, heads: int, scale: float | None = None,
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     bi = _pick_bi(b, block_b if block_b is not None else _FWD_BI,
-                  sq_p, sk_p, budget_mb=10)
-    o = _folded_core(qf, k, v, heads, hd, sk, bi, interpret)
+                  bq, sk_p, budget_mb=14, c=c)
+    o = _folded_core(qf, k, v, heads, hd, sk, bi, bq, interpret)
     return o[:, :sq]

@@ -238,3 +238,36 @@ def test_dispatcher_short_path_uses_folded_layout():
     ref = multi_head_attention(q, k, v, backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_folded_qblocked_tiny_kv_gradients():
+    """Decoder-shaped route: thousands of queries vs tiny KV exercises the
+    q-block grid and the dk/dv accumulation across q blocks."""
+    from motion324_tpu.ops import folded_attention as fam
+    kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(8), 4)
+    b, h, sq, sk, d = 2, 2, 2100, 64, 32
+    q = _rand(kq, (b, sq, h * d))
+    k = _rand(kk, (b, sk, h * d))
+    v = _rand(kv, (b, sk, h * d))
+    cot = _rand(kg, (b, sq, h * d))
+    old = fam._pick_bq
+    fam._pick_bq = lambda sq_p, cap=512: old(sq_p, cap)  # force multi-block
+    try:
+        def loss(q, k, v):
+            return jnp.sum(fam.folded_attention(q, k, v, heads=h,
+                                                interpret=True) * cot)
+
+        def unfold(x, s):
+            return x.reshape(x.shape[0], s, h, d).transpose(0, 2, 1, 3)
+
+        def loss_ref(q, k, v):
+            o = mha_reference(unfold(q, sq), unfold(k, sk), unfold(v, sk))
+            return jnp.sum(o.transpose(0, 2, 1, 3).reshape(cot.shape) * cot)
+
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-5, rtol=5e-5)
+    finally:
+        fam._pick_bq = old
