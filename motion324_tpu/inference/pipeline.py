@@ -106,21 +106,42 @@ def to_blender_coords(trajs: np.ndarray) -> np.ndarray:
 class MotionPipeline:
     """Holds jitted encode/decode programs for repeated clip inference.
 
-    ``mesh``: optional ``jax.sharding.Mesh`` with an ``mp`` axis — parameters
-    are sharded tensor-parallel (:mod:`motion324_tpu.parallel.tp`) and the
-    encode/decode programs run partitioned across chips (GSPMD inserts the
-    collectives); single-chip behaviour is unchanged when ``mesh`` is None.
+    ``mesh``: optional ``jax.sharding.Mesh`` with an ``mp`` axis; ``parallel``
+    picks the partitioning:
+
+    - ``"tp"`` (default): tensor parallel — parameters sharded Megatron-style
+      (:mod:`motion324_tpu.parallel.tp`), GSPMD inserts the collectives.
+    - ``"sp"``: sequence parallel over the FRAME axis — each device encodes
+      its frame block (DINO + local attention run frame-local), the global
+      attention all-gathers K/V over ICI, and decoding stays frame-local.
+      Right for LONG windows (the global attention's S^2 dominates at
+      T=256: 82944 tokens), where TP's per-layer all-reduces lose to one
+      KV gather per global layer. Window length must divide by the axis.
+
+    Single-chip behaviour is unchanged when ``mesh`` is None.
     """
 
     def __init__(self, cfg: ModelConfig, params, window: int = 12,
-                 decode_chunk: int = DECODE_CHUNK, mesh=None):
+                 decode_chunk: int = DECODE_CHUNK, mesh=None,
+                 parallel: str = "tp"):
+        import dataclasses
+
         self.cfg = cfg
         self.model = MotionLatentModel(cfg)
         self.window = window
         self.decode_chunk = decode_chunk
         self.mesh = mesh
 
-        if mesh is not None and mesh.shape.get("mp", 1) >= 1:
+        sp_n = 1
+        if mesh is not None and parallel == "sp":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sp_n = int(mesh.shape.get("mp", 1))
+            if window % max(sp_n, 1):
+                raise ValueError(
+                    f"sequence parallelism needs window ({window}) divisible "
+                    f"by the mp axis ({sp_n})")
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        elif mesh is not None and mesh.shape.get("mp", 1) >= 1:
             from motion324_tpu.parallel.tp import tp_shardings
             params = jax.device_put(params, tp_shardings(params, mesh))
         self.params = params
@@ -132,8 +153,7 @@ class MotionPipeline:
             return model.apply(params, sp, sn, sr,
                                method=MotionLatentModel.encode_shape)
 
-        @functools.partial(jax.jit, static_argnums=(3,))
-        def _encode_video(params, video, mesh_feat, segment: bool = False):
+        def _encode_video_math(model, params, video, mesh_feat, segment):
             # video ships as uint8 (4x less tunnel/host->HBM traffic than
             # f32 — the transfer dominated e2e wall time) and normalises
             # in-graph; the border-statistics segmentation fallback also
@@ -146,10 +166,40 @@ class MotionPipeline:
             return model.apply(params, x, mesh_feat,
                                method=MotionLatentModel.encode_video)
 
-        @jax.jit
-        def _decode(params, tokens, p, n, c):
-            return model.apply(params, tokens, p, n, c,
-                               method=MotionLatentModel.decode_points)
+        if sp_n > 1:
+            from jax.sharding import PartitionSpec as P
+            sp_model = MotionLatentModel(dataclasses.replace(
+                cfg, sp_axis="mp", sp_size=sp_n))
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def _encode_video(params, video, mesh_feat, segment=False):
+                f = functools.partial(_encode_video_math, sp_model)
+                return jax.shard_map(
+                    lambda p, v, m: f(p, v, m, segment), mesh=mesh,
+                    in_specs=(P(), P(None, "mp"), P()),
+                    out_specs=P(None, "mp"), check_vma=False,
+                )(params, video, mesh_feat)
+
+            @jax.jit
+            def _decode(params, tokens, p, n, c):
+                def f(params, tokens, p, n, c):
+                    return model.apply(params, tokens, p, n, c,
+                                       method=MotionLatentModel.decode_points)
+                return jax.shard_map(
+                    f, mesh=mesh,
+                    in_specs=(P(), P(None, "mp"), P(), P(), P()),
+                    out_specs=P(None, "mp"), check_vma=False,
+                )(params, tokens, p, n, c)
+        else:
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def _encode_video(params, video, mesh_feat, segment: bool = False):
+                return _encode_video_math(model, params, video, mesh_feat,
+                                          segment)
+
+            @jax.jit
+            def _decode(params, tokens, p, n, c):
+                return model.apply(params, tokens, p, n, c,
+                                   method=MotionLatentModel.decode_points)
 
         self._encode_shape = _encode_shape
         self._encode_video = _encode_video

@@ -69,6 +69,13 @@ class ModelConfig:
     remat: bool = False
     remat_policy: str | None = None  # 'save_attn': keep flash residuals
     attn_backend: str | None = None
+    # sequence-parallel mesh axis (inference): the FRAME axis is sharded
+    # across devices inside shard_map; global attention all-gathers K/V over
+    # ICI, local attention / DINO / decode stay frame-local. The model must
+    # then be applied under shard_map with rgb_video split over this axis,
+    # and ``sp_size`` set to the axis size (so pos-embeds cover global T).
+    sp_axis: str | None = None
+    sp_size: int = 1
 
     @classmethod
     def from_config(cls, cfg, dtype=None, remat=None, attn_backend=None):
@@ -106,6 +113,7 @@ class AlternatingPair(nn.Module):
     dtype: Any
     frame_tokens: int = 324
     attn_backend: str | None = None
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,8 +125,10 @@ class AlternatingPair(nn.Module):
                   attn_backend=self.attn_backend)
         # only the GLOBAL attention output is named for the selective remat
         # policy: it is the expensive recompute (long-sequence flash kernel);
-        # local attention recomputes cheaply and saving both OOMs at batch 32
+        # local attention recomputes cheaply and saving both OOMs at batch 32.
+        # Under sequence parallelism only the global block communicates.
         x = TransformerBlock(**kw, attn_save_name="gattn_out",
+                             sp_axis=self.sp_axis,
                              name="global")(x)
         x = TransformerBlock(**kw, attn_save_name="lattn_out", name="local")(
             x.reshape(b * t, l, d)).reshape(b, s, d)
@@ -212,7 +222,7 @@ class MotionLatentModel(nn.Module):
         self.alternating_blocks = stack_blocks(
             AlternatingPair, n_pairs, remat=c.remat,
             remat_policy=c.remat_policy, name="alternating_blocks",
-            frame_tokens=self.frame_tokens, **kw)
+            frame_tokens=self.frame_tokens, sp_axis=c.sp_axis, **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
         # remat: flax LayerNorm otherwise saves ~3 f32 copies of the full
@@ -276,23 +286,35 @@ class MotionLatentModel(nn.Module):
         image_tokens = jax.lax.stop_gradient(
             self.image_encoder(frames.astype(c.dtype)))  # (B*T, 256, C)
 
-        if t == c.frames:
+        # global frame count / this shard's frame offset (sequence parallel:
+        # t is the LOCAL frame count, device i holds frames [i*t, (i+1)*t))
+        t_global = t * c.sp_size
+        if c.sp_axis is not None and c.sp_size > 1:
+            offset = jax.lax.axis_index(c.sp_axis) * t
+        else:
+            offset = 0
+
+        if t_global == c.frames:
             pos = jnp.asarray(self.video_pos_embed)
         else:
             pos = resize_pos_embed(jnp.asarray(self.video_pos_embed),
-                                   (c.frames, grid, grid), (t, grid, grid))
+                                   (c.frames, grid, grid),
+                                   (t_global, grid, grid))
+        if c.sp_size > 1:  # slice this shard's frame block of the pos table
+            pos = jax.lax.dynamic_slice(  # pos: (1, T*G*G, C)
+                pos, (0, offset * grid * grid, 0),
+                (1, t * grid * grid, pos.shape[-1]))
         x = image_tokens.reshape(b, t * grid * grid, c.feat_dim)
         x = x + pos.astype(x.dtype)
         x = self.pos_drop(x, deterministic=not train)
         video_tokens = x.reshape(b, t, grid * grid, c.feat_dim)
 
-        sp0 = jnp.broadcast_to(self.special_token_0.astype(c.dtype),
-                               (b, 4, c.feat_dim))[:, None]
-        spr = jnp.broadcast_to(self.special_token_rest.astype(c.dtype),
-                               (b, 4, c.feat_dim))[:, None]
-        special = jnp.concatenate(
-            [sp0, jnp.broadcast_to(spr, (b, t - 1, 4, c.feat_dim))], axis=1) \
-            if t > 1 else sp0
+        # frame 0 gets its own special token (reference :291-292,495-507)
+        sp0 = self.special_token_0.astype(c.dtype)[None]     # (1, 1, 4, C)
+        spr = self.special_token_rest.astype(c.dtype)[None]
+        frame_ids = offset + jnp.arange(t)
+        special = jnp.where((frame_ids == 0)[None, :, None, None], sp0, spr)
+        special = jnp.broadcast_to(special, (b, t, 4, c.feat_dim))
 
         mesh_rep = jnp.broadcast_to(mesh_feat[:, None],
                                     (b, t, c.tokens, c.feat_dim))

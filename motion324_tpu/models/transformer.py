@@ -109,7 +109,13 @@ class MLP(nn.Module):
 
 
 class SelfAttention(nn.Module):
-    """Multi-head self-attention with optional QK-RMSNorm, fused QKV projection."""
+    """Multi-head self-attention with optional QK-RMSNorm, fused QKV projection.
+
+    ``sp_axis``: sequence-parallel mesh axis. When set (inside ``shard_map``),
+    the token axis is SHARDED across devices: queries stay local and K/V are
+    all-gathered over ICI before the (rectangular) flash attention — exact
+    attention over the full sequence with O(S/N) local compute.
+    """
 
     dim: int
     head_dim: int = 64
@@ -119,6 +125,7 @@ class SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     attn_backend: str | None = None
     attn_save_name: str = "attn_out"  # checkpoint_name for selective remat
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -133,6 +140,11 @@ class SelfAttention(nn.Module):
         if self.use_qk_norm:
             q = RMSNorm(name="q_norm")(q)
             k = RMSNorm(name="k_norm")(k)
+        if self.sp_axis is not None:
+            # device order == frame-block order, so tiled gather restores the
+            # global token ordering
+            k = jax.lax.all_gather(k, self.sp_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.sp_axis, axis=1, tiled=True)
         out = multi_head_attention(q, k, v, backend=self.attn_backend)
         out = checkpoint_name(out, self.attn_save_name)
         out = out.reshape(b, l, self.dim)
@@ -186,6 +198,7 @@ class TransformerBlock(nn.Module):
     attn_backend: str | None = None
 
     attn_save_name: str = "attn_out"
+    sp_axis: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -194,6 +207,7 @@ class TransformerBlock(nn.Module):
         x = x + SelfAttention(self.dim, self.head_dim, self.use_qk_norm,
                               dtype=self.dtype, attn_backend=self.attn_backend,
                               attn_save_name=self.attn_save_name,
+                              sp_axis=self.sp_axis,
                               name="attn")(h)
         h = nn.LayerNorm(use_bias=False, epsilon=1e-5, dtype=self.dtype,
                          name="norm2")(x)
