@@ -27,6 +27,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--output", default="./outputs/batch")
     parser.add_argument("--config", default="configs/dyscene.yaml")
+    parser.add_argument("--parallel", default=None, choices=("tp", "sp"),
+                        help="multi-chip partitioning over the mp mesh axis "
+                             "('sp' shards the frame axis: right for the "
+                             "long-video windows this driver batches)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -59,7 +63,12 @@ def main(argv=None):
         params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
         log("WARNING: random weights (no --checkpoint)")
 
-    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames))
+    mesh = None
+    if args.parallel:
+        from motion324_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=1, mp=len(jax.devices()))
+    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
+                              mesh=mesh, parallel=args.parallel or "tp")
 
     with open(args.list_path) as f:
         jobs = [line.split() for line in f if line.strip()

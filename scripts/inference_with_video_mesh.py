@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--config", default="configs/dyscene.yaml")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-smooth", action="store_true")
+    parser.add_argument("--parallel", default=None, choices=("tp", "sp"),
+                        help="multi-chip partitioning over the mp mesh axis: "
+                             "'tp' tensor parallel, 'sp' sequence parallel "
+                             "over frames (long windows)")
     parser.add_argument("--no-segmentation", action="store_true",
                         help="skip foreground masking (reference default is "
                              "use_segmentation=True, 4D_from_existing.sh:62)")
@@ -74,7 +78,12 @@ def main(argv=None):
         example["rgb_video"] = jnp.zeros((1, 2, mcfg.image_size, mcfg.image_size, 3))
         params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
 
-    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames))
+    mesh = None
+    if args.parallel:
+        from motion324_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=1, mp=len(jax.devices()))
+    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
+                              mesh=mesh, parallel=args.parallel or "tp")
     out = pipeline.run(args.mesh, args.video, args.output,
                        num_shape_samples=int(cfg.training.get(
                            "num_shape_samples", 16384)),
