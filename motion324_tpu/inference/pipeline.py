@@ -172,7 +172,7 @@ class MotionPipeline:
                 cfg, sp_axis="mp", sp_size=sp_n))
 
             @functools.partial(jax.jit, static_argnums=(3,))
-            def _encode_video(params, video, mesh_feat, segment=False):
+            def _sp_encode_video(params, video, mesh_feat, segment=False):
                 f = functools.partial(_encode_video_math, sp_model)
                 return jax.shard_map(
                     lambda p, v, m: f(p, v, m, segment), mesh=mesh,
@@ -180,8 +180,13 @@ class MotionPipeline:
                     out_specs=P(None, "mp"), check_vma=False,
                 )(params, video, mesh_feat)
 
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def _rep_encode_video(params, video, mesh_feat, segment=False):
+                return _encode_video_math(model, params, video, mesh_feat,
+                                          segment)
+
             @jax.jit
-            def _decode(params, tokens, p, n, c):
+            def _sp_decode(params, tokens, p, n, c):
                 def f(params, tokens, p, n, c):
                     return model.apply(params, tokens, p, n, c,
                                        method=MotionLatentModel.decode_points)
@@ -190,6 +195,24 @@ class MotionPipeline:
                     in_specs=(P(), P(None, "mp"), P(), P(), P()),
                     out_specs=P(None, "mp"), check_vma=False,
                 )(params, tokens, p, n, c)
+
+            @jax.jit
+            def _rep_decode(params, tokens, p, n, c):
+                return model.apply(params, tokens, p, n, c,
+                                   method=MotionLatentModel.decode_points)
+
+            # videos shorter than the window (e.g. a clip below
+            # training.frames) have frame counts that need not divide the
+            # mesh: run those replicated instead of crashing in shard_map
+            def _encode_video(params, video, mesh_feat, segment=False):
+                if video.shape[1] % sp_n:
+                    return _rep_encode_video(params, video, mesh_feat, segment)
+                return _sp_encode_video(params, video, mesh_feat, segment)
+
+            def _decode(params, tokens, p, n, c):
+                if tokens.shape[1] % sp_n:
+                    return _rep_decode(params, tokens, p, n, c)
+                return _sp_decode(params, tokens, p, n, c)
         else:
             @functools.partial(jax.jit, static_argnums=(3,))
             def _encode_video(params, video, mesh_feat, segment: bool = False):

@@ -477,18 +477,22 @@ def _pick_block(seq: int, target: int, granule: int = 16) -> int:
     """Block size minimising padding; prefers a PAD-FREE exact divisor.
 
     First choice: the largest ``granule``-multiple divisor of the
-    granule-padded length within [max(128, target/2), 1.5*target] — e.g. the
-    dyscene global sequence 3888 runs at bq 1296 x 3 blocks with ZERO row
-    padding instead of padding to 4096 at bq 1024. Queries use granule 16
-    (sublane tiling); KV uses granule 128 (lane tiling of the logit tiles),
-    where an exact fit rarely exists and the fallback applies.
+    granule-padded length within [max(128, target/2), hi] — e.g. the dyscene
+    global sequence 3888 runs at bq 1296 x 3 blocks with ZERO row padding
+    instead of padding to 4096 at bq 1024. Queries use granule 16 (sublane
+    tiling) and may exceed the target by 1.5x for an exact fit; KV uses
+    granule 128 (lane tiling of the logit tiles) and is HARD-capped at the
+    target — a bigger KV block would route lengths in (target, 1.5*target]
+    into the whole-KV single-block kernel, whose (bq, skv) f32 logit tiles
+    are VMEM-budgeted for <= target.
 
     Fallback: seq >= target -> target; below that the power-of-two block
     (>= 128) whose padded length is smallest — e.g. seq 324 pads to 384 with
     blocks of 128 instead of 512 with blocks of 256.
     """
     seq_g = _ceil_to(seq, granule)
-    lo, hi = max(128, target // 2), target + target // 2
+    lo = max(128, target // 2)
+    hi = target if granule >= 128 else target + target // 2
     exact = 0
     d = lo
     while d <= min(seq_g, hi):

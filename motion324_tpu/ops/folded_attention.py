@@ -113,11 +113,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
 
 
 def _pick_bi(b: int, bi: int, bq: int, sk_p: int, budget_mb: float,
-             c: int = 768) -> int:
+             c: int = 768, itemsize: int = 2) -> int:
     # VMEM guard: Pallas double-buffers the streamed blocks (x2 on the dense
-    # q/o and k/v blocks) and the kernel holds one f32 logit tile per head
+    # q/o and k/v blocks, at the INPUT dtype's width) and the kernel holds
+    # one f32 logit tile per head
     def est(bi):
-        blocks = 2 * (2 * bq * c * 2 + 2 * sk_p * c * 2)
+        blocks = 2 * (2 * bq * c + 2 * sk_p * c) * itemsize
         return bi * (blocks + bq * sk_p * 4)
     while bi > 1 and est(bi) > budget_mb * 1024 * 1024:
         bi //= 2
@@ -128,16 +129,10 @@ def _pick_bi(b: int, bi: int, bq: int, sk_p: int, budget_mb: float,
 
 def _pick_bq(sq_p: int, cap: int = 1024) -> int:
     """Query-block rows: whole sq when small, else the largest 16-multiple
-    divisor of the (re-padded) length within the cap."""
-    if sq_p <= cap:
-        return sq_p
-    best = 16
-    d = 16
-    while d <= cap:
-        if sq_p % d == 0:
-            best = d
-        d += 16
-    return best
+    divisor within the cap (same contract as flash_attention's _pick_div,
+    which always succeeds: sq_p is a 16-multiple)."""
+    from motion324_tpu.ops.flash_attention import _pick_div
+    return sq_p if sq_p <= cap else _pick_div(sq_p, cap)
 
 
 def _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret):
@@ -174,29 +169,24 @@ def _folded_core_bwd(heads, hd, kv_len, bi, bq, interpret, res, do):
     q, k, v, o, lse = res
     b, sq, c = q.shape
     sk = k.shape[1]
+    from motion324_tpu.ops.flash_attention import _pick_div
+    itemsize = q.dtype.itemsize
+
     # the backward streams ~2.25x the forward's dense blocks (q/o/do/dq in
     # q-block rows + k/v/dk/dv + two f32 kv scratches + live logit tiles):
     # size (bi, bq) against its own VMEM model
     def est(bi_, bq_):
-        dense = 2 * (4 * bq_ * c * 2 + 4 * sk * c * 2)  # double-buffered
+        dense = 2 * (4 * bq_ * c + 4 * sk * c) * itemsize  # double-buffered
         return bi_ * (dense + 2 * sk * c * 4 + 2 * bq_ * sk * 4)
 
-    def shrink_bq(x):
-        x -= 16
-        while x > 16 and sq % x:
-            x -= 16
-        return x
-
-    bq = min(bq, 512)
-    while sq % bq:
-        bq = shrink_bq(bq)
+    bq = _pick_div(sq, min(bq, 512))
     bbi = max(bi // 2, 1)
     while b % bbi:
         bbi //= 2
     while bbi > 1 and est(bbi, bq) > 8 * 1024 * 1024:
         bbi //= 2
     while bq > 112 and est(1, bq) > 8 * 1024 * 1024:
-        bq = shrink_bq(bq)
+        bq = _pick_div(sq, bq - 16)
     spec = pl.BlockSpec((bbi, bq, c), lambda i, iq: (i, iq, 0))
     kspec = pl.BlockSpec((bbi, sk, c), lambda i, iq: (i, 0, 0))
     lspec = pl.BlockSpec((bbi, bq, heads), lambda i, iq: (i, iq, 0))
@@ -242,9 +232,7 @@ def folded_attention(q, k, v, *, heads: int, scale: float | None = None,
     sq_p = _ceil_to(sq, 16)   # sublane granule (covers bf16 and f32)
     sk_p = _ceil_to(sk, 128)  # lane granule of the logit tiles
 
-    bq = _pick_bq(sq_p)
-    if sq_p % bq:  # re-pad so q blocks tile exactly (padded rows are inert)
-        sq_p = _ceil_to(sq_p, bq)
+    bq = _pick_bq(sq_p)  # always divides sq_p exactly (16-multiple divisor)
 
     qf = q * jnp.asarray(scale, q.dtype)
     if sq_p != sq:
@@ -254,6 +242,6 @@ def folded_attention(q, k, v, *, heads: int, scale: float | None = None,
         v = jnp.pad(v, ((0, 0), (0, sk_p - sk), (0, 0)))
 
     bi = _pick_bi(b, block_b if block_b is not None else _FWD_BI,
-                  bq, sk_p, budget_mb=14, c=c)
+                  bq, sk_p, budget_mb=14, c=c, itemsize=q.dtype.itemsize)
     o = _folded_core(qf, k, v, heads, hd, sk, bi, bq, interpret)
     return o[:, :sq]

@@ -25,8 +25,12 @@ def main(argv=None):
     p.add_argument("--decode-chunk", type=int, default=1,
                    help="frames per point-decoder scan step (HBM permitting)")
     p.add_argument("--remat-policy", default=None,
-                   help="'save_attn' keeps flash residuals (skips the "
-                        "flash-forward replay in backward)")
+                   choices=("none", "save_attn"),
+                   help="override the config's remat policy: 'save_attn' "
+                        "keeps flash residuals (skips the flash-forward "
+                        "replay in backward), 'none' forces full remat "
+                        "(the configs/dyscene.yaml default is save_attn, "
+                        "so omitting the flag now benchmarks THAT)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation steps: the per-chip batch "
                         "runs as `accum` micro-batches of batch/accum "
@@ -51,7 +55,9 @@ def main(argv=None):
     if args.decode_chunk != 1:
         mcfg = dataclasses.replace(mcfg, decode_frames_chunk=args.decode_chunk)
     if args.remat_policy:
-        mcfg = dataclasses.replace(mcfg, remat_policy=args.remat_policy)
+        mcfg = dataclasses.replace(
+            mcfg, remat_policy=None if args.remat_policy == "none"
+            else args.remat_policy)
     model = MotionLatentModel(mcfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size

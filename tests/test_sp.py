@@ -102,3 +102,24 @@ def test_sp_config_single_shard_is_identity():
     model_sp1 = MotionLatentModel(dataclasses.replace(SMALL, sp_size=1))
     out = model_sp1.apply(params, sample)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_sp_short_video_falls_back_to_replicated():
+    """Clips shorter than the window (frame count not divisible by the mesh)
+    must run replicated instead of crashing in shard_map."""
+    if jax.device_count() < 4:
+        pytest.skip("needs a multi-device mesh")
+    sample = _inputs(jax.random.PRNGKey(4), t=6)  # 6 % 4 != 0
+    model = MotionLatentModel(SMALL)
+    params = model.init(jax.random.PRNGKey(1), sample)
+    ref = model.apply(params, sample)
+    mesh = make_mesh(dp=1, mp=4, devices=jax.devices()[:4])
+    pipe = MotionPipeline(SMALL, params, window=8, mesh=mesh, parallel="sp")
+    feat = pipe._encode_shape(pipe.params, sample["ref_shape_pcd"],
+                              sample["ref_shape_normals"],
+                              sample["ref_shape_rgbs"])
+    tokens = pipe._encode_video(pipe.params, sample["rgb_video"], feat)
+    out = pipe._decode(pipe.params, tokens, sample["ref_pcd"],
+                       sample["ref_normal"], sample["ref_rgb"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
