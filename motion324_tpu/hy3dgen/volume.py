@@ -103,10 +103,39 @@ def _dilate(mask: np.ndarray, iterations: int) -> np.ndarray:
     return m
 
 
+def _lerp_last(a: np.ndarray, f: int) -> np.ndarray:
+    """Upsample the LAST axis by integer factor ``f`` with edge-aligned
+    linear interpolation: n points -> (n-1)*f + 1. Contiguous last-axis
+    arithmetic only — strided-axis broadcasting is ~50x slower at 385^3."""
+    lo, hi = a[..., :-1], a[..., 1:]
+    w = np.arange(f, dtype=np.float32) / f
+    seg = lo[..., None] * (1.0 - w) + hi[..., None] * w   # (..., n-1, f)
+    out = seg.reshape(a.shape[:-1] + ((a.shape[-1] - 1) * f,))
+    return np.concatenate([out, a[..., -1:]], axis=-1)
+
+
 def _host_trilinear(coarse: np.ndarray, r: int) -> np.ndarray:
-    """(c, c, c) -> (r, r, r) trilinear upsample on host (scipy.ndimage)."""
-    from scipy.ndimage import zoom
+    """(c, c, c) -> (r, r, r) trilinear upsample on host.
+
+    The grids are edge-aligned with (r-1) an integer multiple of (c-1)
+    (coarse_factor subdivision), so this is three axis-wise integer-factor
+    lerps — ~6x faster than ``scipy.ndimage.zoom`` at 385^3 (3.2 -> ~0.5 s),
+    which dominated the FlashVDM decode wall time. Falls back to zoom for
+    non-integer factors.
+    """
     c = coarse.shape[0]
+    if (r - 1) % (c - 1) == 0:
+        f = (r - 1) // (c - 1)
+        from motion324_tpu import native
+        out = native.trilinear_upsample(np.asarray(coarse, np.float32), f)
+        if out is not None:  # C++: no temporaries, ~0.3 s at 385^3 (the
+            return out       # numpy path swings 0.8-8 s with memory pressure)
+        out = np.asarray(coarse, np.float32)
+        for _ in range(3):  # cycle axes so each lerp runs on the last axis
+            out = _lerp_last(
+                np.ascontiguousarray(np.transpose(out, (1, 2, 0))), f)
+        return np.ascontiguousarray(out, np.float32)
+    from scipy.ndimage import zoom
     out = zoom(np.asarray(coarse, np.float32), r / c, order=1,
                mode="nearest", grid_mode=True)
     # zoom can be off by one voxel on exact size; pad/crop defensively
@@ -169,10 +198,15 @@ def _refine_run(query_fn, params, processed_latents, r, box_v, chunk, idx):
 
 def _refine_indices(query_fn, params, processed_latents, flat_idx, r: int,
                     box_v: float, chunk: int) -> np.ndarray:
-    # pad the chunk count to a power of two so repeated decodes with varying
-    # surface sizes reuse a handful of compiled programs
+    # bucket the chunk count so repeated decodes with varying surface sizes
+    # reuse a few compiled programs: powers of two below 64 chunks, then
+    # multiples of 64 (pure pow2 wasted up to 2x device work — e.g. a 528
+    # -chunk surface decoded 1024 chunks; <=12% overhead this way)
     n_chunks = max((len(flat_idx) + chunk - 1) // chunk, 1)
-    n_chunks = 1 << (n_chunks - 1).bit_length()
+    if n_chunks <= 64:
+        n_chunks = 1 << (n_chunks - 1).bit_length()
+    else:
+        n_chunks = ((n_chunks + 63) // 64) * 64
     pad = n_chunks * chunk - len(flat_idx)
     if pad:
         flat_idx = np.concatenate([flat_idx, np.zeros(pad, np.int32)])
@@ -215,11 +249,13 @@ def decode_volume_flashvdm(vae, params, processed_latents,
     if len(idx) == 0:
         return fine_init
     # mini-grid reordering: sort near-surface points by spatial cell so each
-    # fixed chunk's probes agree on which latents matter
-    cell = (idx * sort_grid // r)
+    # fixed chunk's probes agree on which latents matter. int32 keys take
+    # numpy's radix path (int64 stable-sorts via mergesort: 4.7 s at 4M
+    # points vs ~0.3 s here); idx columns are cast once for the same reason.
+    idx = idx.astype(np.int32)
+    cell = idx * sort_grid // r
     key = (cell[:, 0] * sort_grid + cell[:, 1]) * sort_grid + cell[:, 2]
-    order = np.argsort(key, kind="stable")
-    idx = idx[order]
+    idx = idx[np.argsort(key, kind="stable")]
 
     # packed flat-index upload + on-device coordinates (see _refine_indices)
     flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]

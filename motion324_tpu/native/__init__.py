@@ -16,12 +16,13 @@ import subprocess
 import numpy as np
 
 __all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
-           "marching_cubes", "qem_simplify", "build_hierarchy"]
+           "marching_cubes", "qem_simplify", "build_hierarchy",
+           "trilinear_upsample"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
 _SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp", "qem_simplify.cpp",
-            "grid_hierarchy.cpp"]
+            "grid_hierarchy.cpp", "trilinear.cpp"]
 _lib = None
 _build_failed = False
 
@@ -327,3 +328,28 @@ def vertex_inpaint_numpy(texture, mask, vtx_pos, vtx_uv, pos_idx, uv_idx):
             out_tex[row, col] = vtx_color[vi]
             out_mask[row, col] = 255
     return out_tex, out_mask
+
+
+# --------------------------------------------------------------------------- #
+# trilinear upsample (volume decoder coarse -> fine)
+# --------------------------------------------------------------------------- #
+def trilinear_upsample(coarse: np.ndarray, factor: int) -> np.ndarray | None:
+    """Edge-aligned integer-factor trilinear upsample of a cubic node grid.
+
+    ``(c, c, c)`` float32 -> ``((c-1)*factor + 1,)**3``. Returns None when the
+    native library is unavailable (callers fall back to the numpy lerp in
+    :mod:`motion324_tpu.hy3dgen.volume`, which is also the test oracle).
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "trilinear_upsample"):
+        return None
+    coarse = np.ascontiguousarray(coarse, np.float32)
+    c = coarse.shape[0]
+    r = (c - 1) * factor + 1
+    out = np.empty((r, r, r), np.float32)
+    rc = lib.trilinear_upsample(
+        coarse.ctypes.data_as(ctypes.c_void_p), ctypes.c_int32(c),
+        ctypes.c_int32(factor), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out

@@ -269,3 +269,24 @@ def test_recenter_image_protocol():
 
     cond, m = prepare_condition_image(img, size=64)
     assert cond.shape == (64, 64, 3) and m.shape == (64, 64)
+
+
+def test_host_trilinear_node_aligned():
+    """The axis-wise integer-factor lerp must equal node-aligned trilinear
+    interpolation (map_coordinates over linspace(0, c-1, r)): both grids are
+    NODE grids over the same box, so fine node i maps to coarse coordinate
+    i*(c-1)/(r-1) exactly. (The previous scipy-zoom grid_mode path used
+    half-pixel-center alignment — a small systematic shift.)"""
+    from scipy.ndimage import map_coordinates
+    from motion324_tpu.hy3dgen.volume import _host_trilinear
+    rng = np.random.default_rng(0)
+    c, r = 13, 49  # (r-1) = 4 * (c-1)
+    coarse = rng.standard_normal((c, c, c)).astype(np.float32)
+    fast = _host_trilinear(coarse, r)
+    ax = np.linspace(0, c - 1, r)
+    g = np.meshgrid(ax, ax, ax, indexing="ij")
+    ref = map_coordinates(coarse, np.stack([x.ravel() for x in g]),
+                          order=1).reshape(r, r, r)
+    np.testing.assert_allclose(fast, ref, atol=2e-6)
+    # coarse nodes reproduce exactly
+    np.testing.assert_allclose(fast[::4, ::4, ::4], coarse, atol=0)
