@@ -40,8 +40,9 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int, hd: int,
-                kv_len: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *rest, heads: int, hd: int,
+                kv_len: int, with_lse: bool):
+    lse_ref = rest[0] if with_lse else None
     q = q_ref[:]  # (bi, Sq, H*hd), pre-scaled
     k = k_ref[:]
     v = v_ref[:]
@@ -61,7 +62,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, heads: int, hd: int,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         o_ref[:, :, sl] = (o / l).astype(o_ref.dtype)
-        lse_ref[:, :, h] = (m + jnp.log(l))[..., 0]
+        if with_lse:  # residual for backward; pure-inference calls skip it
+            lse_ref[:, :, h] = (m + jnp.log(l))[..., 0]
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
@@ -135,28 +137,36 @@ def _pick_bq(sq_p: int, cap: int = 1024) -> int:
     return sq_p if sq_p <= cap else _pick_div(sq_p, cap)
 
 
-def _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret):
+def _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret,
+              with_lse=True):
     b, sq, c = q.shape
     sk = k.shape[1]
     spec = pl.BlockSpec((bi, bq, c), lambda i, iq: (i, iq, 0))
     kspec = pl.BlockSpec((bi, sk, c), lambda i, iq: (i, 0, 0))
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=heads, hd=hd, kv_len=kv_len),
+    out_specs = [spec]
+    out_shape = [jax.ShapeDtypeStruct((b, sq, c), q.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((bi, bq, heads),
+                                      lambda i, iq: (i, iq, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((b, sq, heads), jnp.float32))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, heads=heads, hd=hd, kv_len=kv_len,
+                          with_lse=with_lse),
         grid=(b // bi, sq // bq),
         in_specs=[spec, kspec, kspec],
-        out_specs=[spec,
-                   pl.BlockSpec((bi, bq, heads), lambda i, iq: (i, iq, 0))],
-        out_shape=[jax.ShapeDtypeStruct((b, sq, c), q.dtype),
-                   jax.ShapeDtypeStruct((b, sq, heads), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, k, v)
+    return outs if with_lse else (outs[0], None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _folded_core(q, k, v, heads, hd, kv_len, bi, bq, interpret):
-    o, _ = _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret)
+    o, _ = _call_fwd(q, k, v, heads, hd, kv_len, bi, bq, interpret,
+                     with_lse=False)
     return o
 
 
