@@ -50,7 +50,10 @@ class _HintEncoder(nn.Module):
     """Full-res conditioning image -> latent-res feature map (stride 8).
 
     Mirrors diffusers' ``ControlNetConditioningEmbedding``: 16/32/96/256
-    channels with stride-2 convs, zero-initialised final projection so the
+    channels, where each resolution step keeps channels on the stride-1 conv
+    (``blocks.2i``: ch_in -> ch_in) and changes them on the stride-2 conv
+    (``blocks.2i+1``: ch_in -> ch_out), so released depth-ControlNet weights
+    map kernel-shape-exactly. Zero-initialised final projection so the
     ControlNet is a no-op at init.
     """
 
@@ -63,8 +66,8 @@ class _HintEncoder(nn.Module):
         h = nn.silu(nn.Conv(self.channels[0], (3, 3), padding=1,
                             dtype=self.dtype, name="conv_in")(hint))
         for i, ch in enumerate(self.channels[1:]):
-            h = nn.silu(nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
-                                name=f"block_{i}_a")(h))
+            h = nn.silu(nn.Conv(self.channels[i], (3, 3), padding=1,
+                                dtype=self.dtype, name=f"block_{i}_a")(h))
             h = nn.silu(nn.Conv(ch, (3, 3), strides=2, padding=1,
                                 dtype=self.dtype, name=f"block_{i}_b")(h))
         return nn.Conv(self.out_ch, (3, 3), padding=1, kernel_init=_zero,

@@ -111,9 +111,10 @@ class PaintPipeline:
         if self.super_resolution:
             # per-view 4x SR before baking (back_project samples each view
             # image by its own resolution, so no other stage changes)
-            from motion324_tpu.hy3dgen.super_resolution import Upscaler
-            up = self.upscaler or Upscaler(params=None)
-            view_images = [up(v) for v in view_images]
+            if self.upscaler is None:
+                from motion324_tpu.hy3dgen.super_resolution import Upscaler
+                self.upscaler = Upscaler(params=None)
+            view_images = [self.upscaler(v) for v in view_images]
 
         texture, covered = renderer.bake(view_images, views)
 

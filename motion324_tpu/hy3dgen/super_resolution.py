@@ -169,7 +169,9 @@ class Upscaler:
         guidance 9.0 and noise level 20.
         """
         if self.params is None:
-            log("Upscaler: no diffusion weights — Lanczos x4 fallback")
+            if not getattr(self, "_warned_fallback", False):
+                self._warned_fallback = True
+                log("Upscaler: no diffusion weights — Lanczos x4 fallback")
             return upscale_x4(np.asarray(image, np.float32))
 
         h, w = image.shape[:2]

@@ -252,6 +252,29 @@ class TestConvertControlNet:
         sd = synth_controlnet_sd(params)
         _trees_equal(convert_controlnet(sd), params)
 
+    def test_hint_encoder_matches_diffusers_layout(self):
+        """ControlNetConditioningEmbedding puts the channel change on the
+        stride-2 conv: blocks.2i is ch_in->ch_in, blocks.2i+1 is
+        ch_in->ch_out. Released depth-ControlNet checkpoints have kernel
+        shapes (16,16),(16,32),(32,32),(32,96),(96,96),(96,256) — assert the
+        flax hint encoder init produces exactly those, so convert_controlnet
+        on real weights cannot hit a ScopeParamShapeError."""
+        from motion324_tpu.hy3dgen.img2img import _HintEncoder
+
+        he = _HintEncoder(out_ch=320)
+        p = he.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 64, 64, 3)))["params"]
+        expected = [(16, 16), (16, 32), (32, 32), (32, 96), (96, 96),
+                    (96, 256)]
+        got = []
+        for i in range(3):
+            for suffix in ("a", "b"):
+                k = p[f"block_{i}_{suffix}"]["kernel"]
+                got.append((k.shape[2], k.shape[3]))
+        assert got == expected, got
+        assert p["conv_in"]["kernel"].shape[2:] == (3, 16)
+        assert p["conv_out"]["kernel"].shape[2:] == (256, 320)
+
 
 class TestFromDiffusers:
     def test_delight_editor_from_diffusers(self):
