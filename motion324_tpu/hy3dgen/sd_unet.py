@@ -35,12 +35,12 @@ Dtype = Any
 _GN = 32
 
 
-def _gn(x, name, groups=_GN):
+def _gn(x, name, groups=_GN, eps=1e-5):
     c = x.shape[-1]
     g = min(groups, c)
     while c % g:  # largest divisor <= groups (full-size configs hit 32 exactly)
         g -= 1
-    return nn.GroupNorm(num_groups=g, epsilon=1e-5, name=name)(x)
+    return nn.GroupNorm(num_groups=g, epsilon=eps, name=name)(x)
 
 
 class _Attention(nn.Module):
@@ -200,7 +200,8 @@ class _Transformer2D(nn.Module):
                  mva_scale, mva_masks=None, ip_tokens=None, ip_scale=1.0):
         b, hh, ww, c = x.shape
         res = x
-        h = _gn(x, "norm")
+        # diffusers Transformer2DModel uses GroupNorm eps 1e-6 (resnets 1e-5)
+        h = _gn(x, "norm", eps=1e-6)
         h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(b, hh * ww, self.dim)
         for i in range(self.depth):

@@ -85,7 +85,11 @@ class AutoencoderKL(nn.Module):
             for li in range(self.layers_per_block):
                 h = _Resnet(ch, self.dtype, name=f"enc_{bi}_res_{li}")(h)
             if bi < len(self.block_channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding=1,
+                # diffusers' VAE Encoder downsamples with ASYMMETRIC padding:
+                # Downsample2D(padding=0) pads (0,1,0,1) right/bottom only —
+                # symmetric padding is numerically wrong vs released weights
+                h = nn.Conv(ch, (3, 3), strides=2,
+                            padding=((0, 1), (0, 1)),
                             dtype=self.dtype, name=f"enc_{bi}_down")(h)
         h = _Resnet(self.block_channels[-1], self.dtype, name="enc_mid_res0")(h)
         h = _MidAttn(self.dtype, name="enc_mid_attn")(h)
