@@ -21,6 +21,7 @@ from typing import Any, Sequence
 import numpy as np
 
 __all__ = ["CLIPVisionTower", "CLIPVisionCfg", "convert_clip_vision",
+           "DINOTower", "DINOCfg", "convert_dino_vit",
            "clip_similarity", "DreamSim"]
 
 
@@ -160,6 +161,128 @@ def convert_clip_vision(state_dict: dict, cfg: CLIPVisionCfg) -> dict:
     return {"params": p}
 
 
+@dataclasses.dataclass(frozen=True)
+class DINOCfg:
+    """Defaults follow DINO ViT-B/16 — the third DreamSim backbone
+    (reference evaluation/calculate_lpips.py:34-87 loads the ``dreamsim``
+    ensemble of dino_vitb16 + clip_vitb32 + open_clip_vitb32)."""
+
+    hidden: int = 768
+    intermediate: int = 3072
+    layers: int = 12
+    heads: int = 12
+    image_size: int = 224
+    patch: int = 16
+
+
+class DINOTower:
+    """DINO-v1 ViT (post-embed LayerNorm-free, fused-qkv, no LayerScale)
+    returning the final-LayerNorm CLS token.
+
+    Matches the facebookresearch/dino ``VisionTransformer`` layout exactly so
+    the released ``dino_vitb16`` (and DreamSim's LoRA-merged variant) weights
+    convert 1:1 via :func:`convert_dino_vit`. Differs from CLIP towers in:
+    biased patch conv, no pre-LN, no projection head, eps 1e-6, ImageNet
+    input normalisation.
+    """
+
+    def __init__(self, cfg: DINOCfg = DINOCfg(), params=None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        c = cfg
+
+        class _Tower(nn.Module):
+            @nn.compact
+            def __call__(self, pixels):  # (B, H, W, 3) normalised
+                b = pixels.shape[0]
+                x = nn.Conv(c.hidden, (c.patch, c.patch),
+                            strides=(c.patch, c.patch), padding="VALID",
+                            name="patch")(pixels)
+                x = x.reshape(b, -1, c.hidden)
+                cls = self.param("cls_token",
+                                 nn.initializers.normal(0.02), (c.hidden,))
+                x = jnp.concatenate(
+                    [jnp.broadcast_to(cls, (b, 1, c.hidden)), x], axis=1)
+                pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                                 (x.shape[1], c.hidden))
+                x = x + pos
+                hd = c.hidden // c.heads
+                L = x.shape[1]
+                for i in range(c.layers):
+                    h = nn.LayerNorm(epsilon=1e-6, name=f"norm1_{i}")(x)
+                    qkv = nn.Dense(3 * c.hidden, name=f"qkv_{i}")(h)
+                    q, k, v = jnp.split(qkv, 3, axis=-1)
+                    q = q.reshape(b, L, c.heads, hd).transpose(0, 2, 1, 3)
+                    k = k.reshape(b, L, c.heads, hd).transpose(0, 2, 1, 3)
+                    v = v.reshape(b, L, c.heads, hd).transpose(0, 2, 1, 3)
+                    a = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
+                    a = jax.nn.softmax(a, axis=-1)
+                    o = jnp.einsum("bhqk,bhkd->bhqd", a, v)
+                    o = o.transpose(0, 2, 1, 3).reshape(b, L, c.hidden)
+                    x = x + nn.Dense(c.hidden, name=f"proj_{i}")(o)
+                    h = nn.LayerNorm(epsilon=1e-6, name=f"norm2_{i}")(x)
+                    h = nn.gelu(nn.Dense(c.intermediate, name=f"fc1_{i}")(h),
+                                approximate=False)
+                    x = x + nn.Dense(c.hidden, name=f"fc2_{i}")(h)
+                return nn.LayerNorm(epsilon=1e-6, name="norm")(x[:, 0])
+
+        self.cfg = cfg
+        self._net = _Tower()
+        if params is None:
+            x = jnp.zeros((1, c.image_size, c.image_size, 3))
+            params = jax.jit(self._net.init)(jax.random.PRNGKey(seed), x)
+        self.params = params
+        self._apply = jax.jit(self._net.apply)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) in [0,1] -> (B, hidden) CLS embeddings (ImageNet
+        normalisation, as DINO/DreamSim preprocess)."""
+        import jax.numpy as jnp
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = (np.asarray(images, np.float32) - mean) / std
+        return np.asarray(self._apply(self.params, jnp.asarray(x)))
+
+
+def convert_dino_vit(state_dict: dict, cfg: DINOCfg = DINOCfg()) -> dict:
+    """facebookresearch/dino ``VisionTransformer`` state dict -> flax params.
+
+    Layout: cls_token/pos_embed (leading singleton dims), patch_embed.proj
+    conv, blocks.N.{norm1, attn.qkv, attn.proj, norm2, mlp.fc1, mlp.fc2},
+    final norm. DreamSim's LoRA-finetuned dino_vitb16 merges into this same
+    layout.
+    """
+    import numpy as _np
+
+    def t(key):
+        v = state_dict[key]
+        return _np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                           else v, _np.float32)
+
+    p = {"cls_token": t("cls_token").reshape(cfg.hidden),
+         "pos_embed": t("pos_embed").reshape(-1, cfg.hidden),
+         "patch": {"kernel": t("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+                   "bias": t("patch_embed.proj.bias")},
+         "norm": {"scale": t("norm.weight"), "bias": t("norm.bias")}}
+    for i in range(cfg.layers):
+        b = f"blocks.{i}"
+        p[f"norm1_{i}"] = {"scale": t(f"{b}.norm1.weight"),
+                           "bias": t(f"{b}.norm1.bias")}
+        p[f"qkv_{i}"] = {"kernel": t(f"{b}.attn.qkv.weight").T,
+                         "bias": t(f"{b}.attn.qkv.bias")}
+        p[f"proj_{i}"] = {"kernel": t(f"{b}.attn.proj.weight").T,
+                          "bias": t(f"{b}.attn.proj.bias")}
+        p[f"norm2_{i}"] = {"scale": t(f"{b}.norm2.weight"),
+                           "bias": t(f"{b}.norm2.bias")}
+        p[f"fc1_{i}"] = {"kernel": t(f"{b}.mlp.fc1.weight").T,
+                         "bias": t(f"{b}.mlp.fc1.bias")}
+        p[f"fc2_{i}"] = {"kernel": t(f"{b}.mlp.fc2.weight").T,
+                         "bias": t(f"{b}.mlp.fc2.bias")}
+    return {"params": p}
+
+
 def clip_similarity(video1: np.ndarray, video2: np.ndarray,
                     tower: CLIPVisionTower | None = None,
                     batch: int = 8) -> float:
@@ -188,18 +311,53 @@ class DreamSim:
     """DreamSim perceptual distance: an ensemble of ViT towers.
 
     The public DreamSim model concatenates L2-normalised embeddings from
-    several ViT backbones (CLIP-B/32, OpenCLIP-B/32, DINO-B/16) and scores
-    ``1 - cos``; the backbones here are :class:`CLIPVisionTower` instances
-    whose weights convert independently (reference calculate_lpips.py:34-87).
+    DINO-B/16 + CLIP-B/32 + OpenCLIP-B/32 backbones and scores ``1 - cos``
+    (reference calculate_lpips.py:34-87 loads exactly that ensemble).
+    :meth:`real_ensemble` builds those three architectures so the released
+    (LoRA-merged) weights convert straight in via :func:`convert_dino_vit` /
+    :func:`convert_clip_vision`; the no-weights default uses three compact
+    random towers for fast relative-only CI runs.
     """
 
-    def __init__(self, towers: Sequence[CLIPVisionTower] | None = None):
+    def __init__(self, towers: Sequence | None = None):
         if towers is None:
             small = CLIPVisionCfg(hidden=128, intermediate=256, layers=2,
                                   heads=4, image_size=224, patch=32,
                                   proj_dim=128)
             towers = [CLIPVisionTower(small, seed=s) for s in range(3)]
         self.towers = list(towers)
+
+    # DreamSim's CLIP backbones embed without the projection head (the
+    # ensemble concatenates 768-d hidden CLS states); proj converts to
+    # identity when absent from the state dict, preserving that behaviour.
+    CLIP_B32 = CLIPVisionCfg(hidden=768, intermediate=3072, layers=12,
+                             heads=12, image_size=224, patch=32, proj_dim=768,
+                             quick_gelu=True)
+    OPEN_CLIP_B32 = dataclasses.replace(CLIP_B32, quick_gelu=False)
+
+    @classmethod
+    def real_ensemble(cls, dino_params=None, clip_params=None,
+                      open_clip_params=None) -> "DreamSim":
+        """The released DreamSim backbone set at full dims. ``*_params`` are
+        converted flax trees (None -> random init at the real dims)."""
+        return cls([DINOTower(DINOCfg(), params=dino_params),
+                    CLIPVisionTower(cls.CLIP_B32, params=clip_params, seed=1),
+                    CLIPVisionTower(cls.OPEN_CLIP_B32,
+                                    params=open_clip_params, seed=2)])
+
+    @classmethod
+    def from_params(cls, specs: Sequence[dict]) -> "DreamSim":
+        """Build from serialised tower specs: each is ``{"kind": "dino" |
+        "clip", "cfg": {...dataclass fields...}, "params": flax tree}``."""
+        towers = []
+        for s in specs:
+            if s["kind"] == "dino":
+                towers.append(DINOTower(DINOCfg(**s.get("cfg", {})),
+                                        params=s["params"]))
+            else:
+                towers.append(CLIPVisionTower(CLIPVisionCfg(**s.get("cfg", {})),
+                                              params=s["params"]))
+        return cls(towers)
 
     def embed(self, images: np.ndarray) -> np.ndarray:
         embs = []

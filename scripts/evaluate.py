@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument("--output", default="./eval_results")
     p.add_argument("--num-points", type=int, default=50000)
     p.add_argument("--no-icp", action="store_true")
+    p.add_argument("--tower-weights", default=None,
+                   help="directory of converted perceptual-tower params "
+                        "(clip.pkl / dreamsim.pkl / lpips.pkl / i3d.pkl — "
+                        "pickled flax trees from the utils.*_convert "
+                        "converters). Towers without a file run with RANDOM "
+                        "weights and their metrics are tagged "
+                        "untrained_tower=true.")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -74,15 +81,42 @@ def main(argv=None):
             split_subvideos, ssim)
         from motion324_tpu.inference.pipeline import load_video
 
-        lpips_model = LPIPSVGG()
+        def tower_params(name):
+            if args.tower_weights:
+                path = os.path.join(args.tower_weights, f"{name}.pkl")
+                if os.path.exists(path):
+                    import pickle
+                    with open(path, "rb") as f:
+                        return pickle.load(f)
+            return None
+
+        lpips_params = tower_params("lpips")
+        clip_params = tower_params("clip")
+        ds_params = tower_params("dreamsim")
+        lpips_model = LPIPSVGG(params=lpips_params)
         # protocol metrics (reference evaluation.py:133-203): LPIPS, CLIP
         # similarity, DreamSim per pair; FVD over the pair sets. A compact
         # tower keeps the no-weights CI path fast; converted bigG/DreamSim
         # weights slot straight into these constructors.
-        clip_tower = CLIPVisionTower(CLIPVisionCfg(
-            hidden=128, intermediate=256, layers=2, heads=4, patch=32,
-            proj_dim=128))
-        dreamsim = DreamSim()
+        if clip_params is not None:
+            clip_tower = CLIPVisionTower(params=clip_params)
+        else:
+            clip_tower = CLIPVisionTower(CLIPVisionCfg(
+                hidden=128, intermediate=256, layers=2, heads=4, patch=32,
+                proj_dim=128))
+        dreamsim = (DreamSim.from_params(ds_params) if ds_params is not None
+                    else DreamSim())
+        # perceptual metrics from RANDOM towers measure relative change only —
+        # tag them so nobody compares the numbers against trained-tower runs
+        # (the reference always loads released weights, evaluation.py:133-150)
+        untrained = sorted(n for n, p in (("lpips", lpips_params),
+                                          ("clip_sim", clip_params),
+                                          ("dreamsim", ds_params))
+                           if p is None)
+        if untrained:
+            log(f"WARNING: {', '.join(untrained)} computed with RANDOM tower "
+                "weights — values are relative-only, NOT comparable to "
+                "trained-tower numbers (pass --tower-weights to fix)")
         for gt_path, pred_path in zip(args.gt_paths, args.result_paths):
             gt = prepare_video(load_video(gt_path))
             pr = prepare_video(load_video(pred_path))
@@ -94,28 +128,39 @@ def main(argv=None):
                 "clip_sim": clip_similarity(gt[:t], pr[:t], tower=clip_tower),
                 "dreamsim": dreamsim(gt[:t], pr[:t]),
             }
+            if untrained:
+                rec["untrained_tower"] = untrained
             name = os.path.splitext(os.path.basename(pred_path))[0]
             with open(os.path.join(args.output, f"{name}.json"), "w") as f:
                 json.dump(rec, f, indent=2)
-            log(f"{name}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()))
+            log(f"{name}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
+                                       if not isinstance(v, list)))
             summaries.append(rec)
 
         if len(args.gt_paths) > 1:
             # FVD is a distribution distance: computed across the pair SETS
             # (reference evaluation.py:200-203)
             from motion324_tpu.evaluation.i3d import i3d_feature_fn
-            fn = i3d_feature_fn()
+            i3d_params = tower_params("i3d")
+            fn = i3d_feature_fn(params=i3d_params)
             gts = [prepare_video(load_video(p)) for p in args.gt_paths]
             prs = [prepare_video(load_video(p)) for p in args.result_paths]
             fvd = compute_fvd(gts, prs, fn)
+            if i3d_params is None:
+                log("WARNING: FVD computed with a RANDOM I3D — relative-only")
+                for s in summaries:
+                    s.setdefault("untrained_tower", []).append("fvd")
             log(f"FVD over {len(gts)} pairs: {fvd:.3f}")
             for s in summaries:
                 s["fvd"] = fvd
 
     agg = {k: float(np.mean([s[k] for s in summaries]))
-           for k in summaries[0]}
+           for k, v in summaries[0].items() if not isinstance(v, list)}
+    summary = {"pairs": len(summaries), "mean": agg}
+    if summaries and isinstance(summaries[0].get("untrained_tower"), list):
+        summary["untrained_tower"] = summaries[0]["untrained_tower"]
     with open(os.path.join(args.output, "summary.json"), "w") as f:
-        json.dump({"pairs": len(summaries), "mean": agg}, f, indent=2)
+        json.dump(summary, f, indent=2)
     log(f"summary over {len(summaries)} pairs: {agg}")
     return 0
 

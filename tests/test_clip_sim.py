@@ -67,3 +67,129 @@ def test_dreamsim_identity_and_symmetry():
     assert ds(v, v) == pytest.approx(0.0, abs=1e-5)
     assert ds(v, w) == pytest.approx(ds(w, v), abs=1e-6)
     assert 0.0 <= ds(v, w) <= 2.0
+
+
+# ------------------------------------------------------------------ DINO B/16
+
+from motion324_tpu.evaluation.clip_sim import (DINOCfg, DINOTower,  # noqa: E402
+                                               convert_dino_vit)
+
+DINO_SMALL = DINOCfg(hidden=64, intermediate=128, layers=2, heads=4,
+                     image_size=32, patch=8)
+
+
+class _TorchDinoViT:
+    """Minimal torch mirror of facebookresearch/dino's VisionTransformer
+    (fused qkv, biased patch conv, eps 1e-6, CLS output) — the oracle for
+    ``convert_dino_vit``, same technique as tests/ref_oracle.py. Layout
+    reference: the dreamsim ensemble's dino_vitb16 backbone
+    (reference evaluation/calculate_lpips.py:34-87)."""
+
+    def __new__(cls, cfg, seed=0):
+        import torch
+        import torch.nn as nn
+
+        c = cfg
+        n_tokens = (c.image_size // c.patch) ** 2 + 1
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(c.hidden, eps=1e-6)
+                self.attn = nn.Module()
+                self.attn.qkv = nn.Linear(c.hidden, 3 * c.hidden)
+                self.attn.proj = nn.Linear(c.hidden, c.hidden)
+                self.norm2 = nn.LayerNorm(c.hidden, eps=1e-6)
+                self.mlp = nn.Module()
+                self.mlp.fc1 = nn.Linear(c.hidden, c.intermediate)
+                self.mlp.fc2 = nn.Linear(c.intermediate, c.hidden)
+
+            def forward(self, x):
+                B, N, C = x.shape
+                hd = C // c.heads
+                qkv = self.attn.qkv(self.norm1(x)).reshape(
+                    B, N, 3, c.heads, hd).permute(2, 0, 3, 1, 4)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                a = (q @ k.transpose(-2, -1)) * hd ** -0.5
+                a = a.softmax(dim=-1)
+                o = (a @ v).transpose(1, 2).reshape(B, N, C)
+                x = x + self.attn.proj(o)
+                h = self.mlp.fc2(torch.nn.functional.gelu(
+                    self.mlp.fc1(self.norm2(x))))
+                return x + h
+
+        class ViT(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.cls_token = nn.Parameter(torch.zeros(1, 1, c.hidden))
+                self.pos_embed = nn.Parameter(torch.zeros(1, n_tokens,
+                                                          c.hidden))
+                self.patch_embed = nn.Module()
+                self.patch_embed.proj = nn.Conv2d(3, c.hidden, c.patch,
+                                                  stride=c.patch)
+                self.blocks = nn.ModuleList([Block()
+                                             for _ in range(c.layers)])
+                self.norm = nn.LayerNorm(c.hidden, eps=1e-6)
+
+            def forward(self, x):
+                B = x.shape[0]
+                x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+                x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+                x = x + self.pos_embed
+                for b in self.blocks:
+                    x = b(x)
+                return self.norm(x)[:, 0]
+
+        torch.manual_seed(seed)
+        model = ViT()
+        with torch.no_grad():
+            for p in model.parameters():
+                p.copy_(torch.randn_like(p) * 0.05)
+        return model.eval()
+
+
+def test_dino_tower_matches_torch_oracle():
+    torch = pytest.importorskip("torch")
+    model = _TorchDinoViT(DINO_SMALL)
+    tower = DINOTower(DINO_SMALL,
+                      params=convert_dino_vit(model.state_dict(), DINO_SMALL))
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, DINO_SMALL.image_size, DINO_SMALL.image_size,
+                  3).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    import jax.numpy as jnp
+    ours = np.asarray(tower._apply(tower.params, jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_dreamsim_real_ensemble_architectures():
+    """The released-backbone set [dino_b16, clip_b32, open_clip_b32]
+    instantiates at the real dims and behaves as a metric. Slow (full-dims
+    random init), so the towers are truncated via cfg overrides only where
+    dims do not affect the converter layout (layer count)."""
+    import dataclasses
+    from motion324_tpu.evaluation.clip_sim import (CLIPVisionTower, DreamSim)
+
+    dino_cfg = dataclasses.replace(DINO_SMALL)
+    clip_cfg = dataclasses.replace(DreamSim.CLIP_B32, hidden=64,
+                                   intermediate=128, layers=2, heads=4,
+                                   image_size=32, patch=8, proj_dim=64)
+    oc_cfg = dataclasses.replace(clip_cfg, quick_gelu=False)
+    ds = DreamSim([DINOTower(dino_cfg),
+                   CLIPVisionTower(clip_cfg, seed=1),
+                   CLIPVisionTower(oc_cfg, seed=2)])
+    rng = np.random.RandomState(3)
+    v = rng.rand(2, 32, 32, 3).astype(np.float32)
+    w = rng.rand(2, 32, 32, 3).astype(np.float32)
+    assert ds(v, v) == pytest.approx(0.0, abs=1e-5)
+    assert 0.0 <= ds(v, w) <= 2.0
+    # from_params round-trip over mixed tower kinds
+    specs = [{"kind": "dino", "cfg": dataclasses.asdict(dino_cfg),
+              "params": ds.towers[0].params},
+             {"kind": "clip", "cfg": dataclasses.asdict(clip_cfg),
+              "params": ds.towers[1].params},
+             {"kind": "clip", "cfg": dataclasses.asdict(oc_cfg),
+              "params": ds.towers[2].params}]
+    ds2 = DreamSim.from_params(specs)
+    assert ds2(v, w) == pytest.approx(ds(v, w), abs=1e-6)
