@@ -51,13 +51,17 @@ def crop_and_center(frame: np.ndarray, bbox, size: int = 512) -> np.ndarray:
 
 def preprocess_video_frames(frames: np.ndarray, params=None,
                             alpha_threshold: float = 0.8,
-                            size: int = 512):
+                            size: int = 512, model=None):
     """frames (T, H, W, 3) in [0,1] -> (masked 512^2 frames, masks, bbox).
 
     Background pixels are blacked out (the model is trained on black-background
-    renders — reference rmbg_for_black_bg.py:29-70).
+    renders — reference rmbg_for_black_bg.py:29-70). ``model`` selects the
+    segmentation network for converted ``params`` (U2Net default; pass an
+    :class:`~motion324_tpu.inference.segmentation.ISNet` to match the
+    reference CLI's isnet-general-use session, rmbg_for_black_bg.py:26).
     """
-    masks = segment_frames(frames, params=params, threshold=alpha_threshold
+    masks = segment_frames(frames, params=params, model=model,
+                           threshold=alpha_threshold
                            if params is not None else 0.5)
     bbox = global_bbox(masks)
     out_frames = []

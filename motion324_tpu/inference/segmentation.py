@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["U2Net", "segment_frames", "threshold_segment"]
+__all__ = ["U2Net", "ISNet", "segment_frames", "threshold_segment"]
 
 Dtype = Any
 
@@ -27,11 +27,13 @@ Dtype = Any
 class _ConvBNReLU(nn.Module):
     features: int
     dilation: int = 1
+    strides: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(self.features, (3, 3), padding=self.dilation,
+                    strides=(self.strides, self.strides),
                     kernel_dilation=(self.dilation, self.dilation),
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
@@ -140,6 +142,55 @@ class U2Net(nn.Module):
         fused = nn.Conv(1, (1, 1), dtype=self.dtype, name="outconv")(
             jnp.concatenate(sides, -1))
         return jax.nn.sigmoid(fused[..., 0].astype(jnp.float32))
+
+
+class ISNet(nn.Module):
+    """IS-Net ("isnet-general-use") — the reference preprocessing CLI's
+    segmentation model (reference: utils/rmbg_for_black_bg.py:26).
+
+    DIS ISNetDIS layout: a stride-2 Conv-BN-ReLU stem, then the U2Net RSU
+    encoder/decoder (RSU7..RSU4F) WITHOUT the fused ``outconv`` — the mask is
+    the sigmoid of the first side output, bilinearly upsampled to the input
+    size (rembg consumes ``sigmoid(d1)``). Channels are parameterised so tiny
+    configurations can be parity-tested against a torch oracle; defaults are
+    the released isnet-general-use dims.
+    """
+
+    mids: tuple = (32, 32, 64, 128, 256, 256)       # stage1..6 mid channels
+    outs: tuple = (64, 128, 256, 512, 512, 512)     # stage1..6 out channels
+    dec_mids: tuple = (16, 32, 64, 128, 256)        # stage1d..5d
+    dec_outs: tuple = (64, 64, 128, 256, 512)       # stage1d..5d
+    stem: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h0, w0, _ = x.shape
+        m, o, dm, do = self.mids, self.outs, self.dec_mids, self.dec_outs
+        hxin = _ConvBNReLU(self.stem, strides=2, dtype=self.dtype,
+                           name="conv_in")(x)
+        s1 = RSU(7, m[0], o[0], self.dtype, name="stage1")(hxin)
+        s2 = RSU(6, m[1], o[1], self.dtype, name="stage2")(_down(s1))
+        s3 = RSU(5, m[2], o[2], self.dtype, name="stage3")(_down(s2))
+        s4 = RSU(4, m[3], o[3], self.dtype, name="stage4")(_down(s3))
+        s5 = RSU4F(m[4], o[4], self.dtype, name="stage5")(_down(s4))
+        s6 = RSU4F(m[5], o[5], self.dtype, name="stage6")(_down(s5))
+
+        d5 = RSU4F(dm[4], do[4], self.dtype, name="stage5d")(
+            jnp.concatenate([_up_to(s6, s5), s5], -1))
+        d4 = RSU(4, dm[3], do[3], self.dtype, name="stage4d")(
+            jnp.concatenate([_up_to(d5, s4), s4], -1))
+        d3 = RSU(5, dm[2], do[2], self.dtype, name="stage3d")(
+            jnp.concatenate([_up_to(d4, s3), s3], -1))
+        d2 = RSU(6, dm[1], do[1], self.dtype, name="stage2d")(
+            jnp.concatenate([_up_to(d3, s2), s2], -1))
+        d1 = RSU(7, dm[0], do[0], self.dtype, name="stage1d")(
+            jnp.concatenate([_up_to(d2, s1), s1], -1))
+
+        side = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
+                       name="side1")(d1)
+        side = jax.image.resize(side, (b, h0, w0, 1), method="bilinear")
+        return jax.nn.sigmoid(side[..., 0].astype(jnp.float32))
 
 
 def threshold_segment(frames: np.ndarray, border: int = 8,

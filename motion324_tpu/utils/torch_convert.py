@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["convert_motion_checkpoint", "convert_dinov2_vitb14",
            "convert_hunyuan3d_dit", "convert_shape_vae", "convert_dinov2_hf",
-           "convert_u2net", "convert_lpips",
+           "convert_u2net", "convert_isnet", "convert_lpips",
            "load_torch_state_dict"]
 
 
@@ -423,6 +423,39 @@ def convert_u2net(sd: dict) -> dict:
     params["outconv"] = {
         "kernel": sd["outconv.weight"].transpose(2, 3, 1, 0).astype(np.float32),
         "bias": sd["outconv.bias"].astype(np.float32)}
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_isnet(sd: dict) -> dict:
+    """isnet-general-use (DIS ``ISNetDIS``) state dict -> flax ISNet variables.
+
+    Layout reference: the DIS repo's ISNetDIS — a ``myrebnconv`` stem
+    (``conv_in.{conv,bn}``), the same RSU stages as U2Net, and side1..side6
+    convs with NO fused outconv (reference preprocessing model:
+    utils/rmbg_for_black_bg.py:26). Only ``side1`` feeds the mask; the other
+    side heads are training-time deep supervision and are left unconsumed.
+    """
+    heights = {"stage1": 7, "stage2": 6, "stage3": 5, "stage4": 4,
+               "stage1d": 7, "stage2d": 6, "stage3d": 5, "stage4d": 4}
+    params: dict = {}
+    stats: dict = {}
+    # myrebnconv stem: conv/bn (not conv_s1/bn_s1)
+    w = sd["conv_in.conv.weight"]
+    params["conv_in"] = {
+        "conv": {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                 "bias": sd["conv_in.conv.bias"].astype(np.float32)},
+        "bn": {"scale": sd["conv_in.bn.weight"].astype(np.float32),
+               "bias": sd["conv_in.bn.bias"].astype(np.float32)}}
+    stats["conv_in"] = {
+        "bn": {"mean": sd["conv_in.bn.running_mean"].astype(np.float32),
+               "var": sd["conv_in.bn.running_var"].astype(np.float32)}}
+    for st, h in heights.items():
+        params[st], stats[st] = _rsu(sd, st, h)
+    for st in ("stage5", "stage6", "stage5d"):
+        params[st], stats[st] = _rsu4f(sd, st)
+    w = sd["side1.weight"]
+    params["side1"] = {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                       "bias": sd["side1.bias"].astype(np.float32)}
     return {"params": params, "batch_stats": stats}
 
 

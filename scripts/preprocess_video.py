@@ -27,6 +27,15 @@ def main(argv=None):
     p.add_argument("--split-only", action="store_true")
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--model", choices=("heuristic", "u2net", "isnet"),
+                   default="heuristic",
+                   help="segmentation network; the reference CLI uses "
+                        "isnet-general-use (rmbg_for_black_bg.py:26). "
+                        "u2net/isnet need --weights (a torch .pth, converted "
+                        "on load); without weights the border-statistics "
+                        "heuristic runs.")
+    p.add_argument("--weights", default=None,
+                   help="torch checkpoint for --model u2net/isnet")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -50,7 +59,24 @@ def main(argv=None):
         log(f"wrote {len(frames)} raw frames to {frame_dir}")
         return 0
 
-    masked, masks, bbox = preprocess_video_frames(frames, size=args.size)
+    params = model = None
+    if args.model != "heuristic":
+        if args.weights:
+            from motion324_tpu.inference.segmentation import ISNet, U2Net
+            from motion324_tpu.utils.torch_convert import (
+                convert_isnet, convert_u2net, load_torch_state_dict)
+            sd = load_torch_state_dict(args.weights)
+            if args.model == "isnet":
+                params, model = convert_isnet(sd), ISNet()
+            else:
+                params, model = convert_u2net(sd), U2Net()
+            log(f"{args.model} weights converted from {args.weights}")
+        else:
+            log(f"WARNING: --model {args.model} without --weights — "
+                "falling back to the border-statistics heuristic")
+
+    masked, masks, bbox = preprocess_video_frames(frames, size=args.size,
+                                                  params=params, model=model)
     rgb_dir = os.path.join(out_dir, "masked_rgb")
     mask_dir = os.path.join(out_dir, "masks")
     os.makedirs(rgb_dir, exist_ok=True)

@@ -62,3 +62,59 @@ def test_u2net_tiny_forward():
     assert out.shape == (1, 64, 64)
     o = np.asarray(out)
     assert (o >= 0).all() and (o <= 1).all()
+
+
+def test_isnet_matches_torch_oracle():
+    """Our flax ISNet + convert_isnet vs a torch DIS-layout oracle
+    (tests/isnet_oracle.py) at tiny channels — numerics, not just structure
+    (reference preprocessing model: utils/rmbg_for_black_bg.py:26)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import isnet_oracle
+    from motion324_tpu.inference.segmentation import ISNet
+    from motion324_tpu.utils.torch_convert import convert_isnet
+
+    mids = (2, 2, 3, 4, 5, 5)
+    outs = (4, 6, 8, 10, 10, 10)
+    dec_mids = (2, 2, 3, 4, 5)
+    dec_outs = (4, 4, 6, 8, 10)
+    torch.manual_seed(0)
+    ref = isnet_oracle.ISNetDIS(stem=4, mids=mids, outs=outs,
+                                dec_mids=dec_mids, dec_outs=dec_outs)
+    # randomize BN stats too, so conversion of running_mean/var is exercised
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    ref = ref.eval()
+
+    ours = ISNet(mids=mids, outs=outs, dec_mids=dec_mids, dec_outs=dec_outs,
+                 stem=4)
+    variables = convert_isnet({k: v.detach().numpy()
+                               for k, v in ref.state_dict().items()})
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    out = np.asarray(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=2e-4)
+
+
+def test_isnet_full_dims_init():
+    """Released-dims ISNet initialises and the converter's expected stage
+    channel plan matches the flax module's parameter shapes."""
+    from motion324_tpu.inference.segmentation import ISNet
+    model = ISNet()
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3))))
+    p = params["params"]
+    assert p["conv_in"]["conv"]["kernel"].shape == (3, 3, 3, 64)
+    assert p["stage1"]["conv_in"]["conv"]["kernel"].shape == (3, 3, 64, 64)
+    assert p["stage6"]["conv_in"]["conv"]["kernel"].shape == (3, 3, 512, 512)
+    assert p["stage1d"]["conv_in"]["conv"]["kernel"].shape == (3, 3, 128, 64)
+    assert p["side1"]["kernel"].shape == (3, 3, 64, 1)
