@@ -150,7 +150,8 @@ def load_glb(path: str):
             continue
         mesh = gltf["meshes"][node["mesh"]]
         for prim in mesh.get("primitives", []):
-            if prim.get("mode", 4) != 4:  # triangles only
+            mode = prim.get("mode", 4)
+            if mode not in (4, 5, 6):  # TRIANGLES / STRIP / FAN
                 continue
             attrs = prim["attributes"]
             pos = _accessor_data(gltf, binary, attrs["POSITION"]).astype(np.float32)
@@ -160,7 +161,25 @@ def load_glb(path: str):
                 idx = _accessor_data(gltf, binary, prim["indices"]).reshape(-1)
             else:
                 idx = np.arange(n, dtype=np.uint32)
-            tri = idx.reshape(-1, 3).astype(np.int64) + voffset
+            idx = idx.astype(np.int64)
+            # strip/fan conversion mirrors the reference's loader
+            # (reference: .../custom_rasterizer/custom_rasterizer/io_glb.py:
+            # 134-230 handles non-TRIANGLES modes)
+            if mode == 5:  # TRIANGLE_STRIP: flip winding on odd triangles
+                a, b, c = idx[:-2], idx[1:-1], idx[2:]
+                odd = np.arange(len(a)) % 2 == 1
+                tri = np.stack([np.where(odd, b, a),
+                                np.where(odd, a, b), c], axis=1)
+            elif mode == 6:  # TRIANGLE_FAN: all triangles share vertex 0
+                tri = np.stack([np.broadcast_to(idx[0], idx[2:].shape),
+                                idx[1:-1], idx[2:]], axis=1)
+            else:
+                tri = idx[:len(idx) - len(idx) % 3].reshape(-1, 3)
+            # drop degenerate triangles (strips commonly restart by
+            # repeating an index)
+            keep = ((tri[:, 0] != tri[:, 1]) & (tri[:, 1] != tri[:, 2])
+                    & (tri[:, 0] != tri[:, 2]))
+            tri = tri[keep] + voffset
             verts.append(pos_w)
             faces.append(tri)
             uvs.append(_accessor_data(gltf, binary, attrs["TEXCOORD_0"])[:, :2]
@@ -324,10 +343,19 @@ def _base_mesh_json(b: _BinBuilder, vertices, faces, uv=None, texture=None,
         from PIL import Image
         img = Image.fromarray((np.clip(texture, 0, 1) * 255).astype(np.uint8))
         buf = _io.BytesIO()
-        img.save(buf, format="PNG")
+        # PNG-encoding a 2048^2 atlas costs ~1 s of host time per export
+        # (it dominated the product path's export phase); JPEG q95 is ~25x
+        # faster and both are valid glTF mime types. Keep PNG (lossless) for
+        # small textures, JPEG for product-size atlases.
+        if img.width * img.height >= 1024 * 1024:
+            img.save(buf, format="JPEG", quality=95)
+            mime = "image/jpeg"
+        else:
+            img.save(buf, format="PNG")
+            mime = "image/png"
         b.add_raw(buf.getvalue())
         gltf["images"] = [{"bufferView": len(b.views) - 1,
-                           "mimeType": "image/png"}]
+                           "mimeType": mime}]
         gltf["samplers"] = [{"magFilter": 9729, "minFilter": 9729,
                              "wrapS": 10497, "wrapT": 10497}]
         gltf["textures"] = [{"sampler": 0, "source": 0}]

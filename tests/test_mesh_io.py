@@ -55,6 +55,133 @@ def test_animated_glb_structure(tmp_path):
     np.testing.assert_allclose(data["vertices"], CUBE_V, atol=1e-6)
 
 
+def _raw_glb(gltf: dict, binary: bytes) -> bytes:
+    """Assemble a GLB container independently of io.glb's writer (so loader
+    tests do not share code with the code under test)."""
+    pad = (-len(binary)) % 4
+    binary = binary + b"\x00" * pad
+    js = json.dumps(gltf).encode()
+    js = js + b" " * ((-len(js)) % 4)
+    total = 12 + 8 + len(js) + 8 + len(binary)
+    return (struct.pack("<III", 0x46546C67, 2, total)
+            + struct.pack("<II", len(js), 0x4E4F534A) + js
+            + struct.pack("<II", len(binary), 0x004E4942) + binary)
+
+
+def _gltf_prim_doc(positions: np.ndarray, indices: np.ndarray | None,
+                   mode: int) -> tuple[dict, bytes]:
+    binary = positions.astype("<f4").tobytes()
+    accessors = [{"bufferView": 0, "componentType": 5126,
+                  "count": len(positions), "type": "VEC3",
+                  "min": positions.min(0).tolist(),
+                  "max": positions.max(0).tolist()}]
+    views = [{"buffer": 0, "byteOffset": 0, "byteLength": len(binary)}]
+    prim = {"attributes": {"POSITION": 0}, "mode": mode}
+    if indices is not None:
+        idx_bytes = indices.astype("<u2").tobytes()
+        views.append({"buffer": 0, "byteOffset": len(binary),
+                      "byteLength": len(idx_bytes)})
+        binary += idx_bytes + b"\x00" * ((-len(idx_bytes)) % 4)
+        accessors.append({"bufferView": 1, "componentType": 5123,
+                          "count": len(indices), "type": "SCALAR"})
+        prim["indices"] = 1
+    gltf = {"asset": {"version": "2.0"}, "scene": 0,
+            "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+            "meshes": [{"primitives": [prim]}],
+            "buffers": [{"byteLength": len(binary)}],
+            "bufferViews": views, "accessors": accessors}
+    return gltf, binary
+
+
+def test_glb_triangle_strip(tmp_path):
+    """Mode-5 strips convert with alternating winding (reference loader
+    handles non-TRIANGLES modes: custom_rasterizer/io_glb.py:134-230)."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    gltf, binary = _gltf_prim_doc(pos, np.arange(4, dtype=np.uint16), 5)
+    path = str(tmp_path / "strip.glb")
+    with open(path, "wb") as f:
+        f.write(_raw_glb(gltf, binary))
+    data = load_glb(path)
+    np.testing.assert_array_equal(data["faces"],
+                                  [[0, 1, 2], [2, 1, 3]])
+
+
+def test_glb_triangle_fan_and_nonindexed(tmp_path):
+    pos = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                    [-1, 0.5, 0]], np.float32)
+    gltf, binary = _gltf_prim_doc(pos, None, 6)  # fan, no index accessor
+    path = str(tmp_path / "fan.glb")
+    with open(path, "wb") as f:
+        f.write(_raw_glb(gltf, binary))
+    data = load_glb(path)
+    np.testing.assert_array_equal(
+        data["faces"], [[0, 1, 2], [0, 2, 3], [0, 3, 4]])
+
+
+def test_glb_strip_degenerate_restart(tmp_path):
+    """Strips that restart by repeating an index emit no degenerate faces."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2, 2, 3, 3, 1, 0], np.uint16)
+    gltf, binary = _gltf_prim_doc(pos, idx, 5)
+    path = str(tmp_path / "strip_restart.glb")
+    with open(path, "wb") as f:
+        f.write(_raw_glb(gltf, binary))
+    faces = load_glb(path)["faces"]
+    assert len(faces) > 0
+    assert (np.sort(faces, axis=1)[:, 0] != np.sort(faces, axis=1)[:, 1]).all()
+    assert (np.sort(faces, axis=1)[:, 1] != np.sort(faces, axis=1)[:, 2]).all()
+
+
+def test_glb_multi_primitive_merge(tmp_path):
+    """Two primitives in one mesh node merge with vertex offsets."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    g1, b1 = _gltf_prim_doc(pos, np.array([0, 1, 2], np.uint16), 4)
+    g2, b2 = _gltf_prim_doc(pos + 5.0, np.array([0, 1, 2], np.uint16), 4)
+    # merge doc 2's primitive into doc 1 with re-based views/accessors
+    off_views = len(g1["bufferViews"])
+    off_acc = len(g1["accessors"])
+    for v in g2["bufferViews"]:
+        v["byteOffset"] += len(b1)
+        g1["bufferViews"].append(v)
+    for a in g2["accessors"]:
+        a["bufferView"] += off_views
+        g1["accessors"].append(a)
+    prim2 = g2["meshes"][0]["primitives"][0]
+    prim2["attributes"]["POSITION"] += off_acc
+    prim2["indices"] += off_acc
+    g1["meshes"][0]["primitives"].append(prim2)
+    binary = b1 + b2
+    g1["buffers"][0]["byteLength"] = len(binary)
+    path = str(tmp_path / "multi.glb")
+    with open(path, "wb") as f:
+        f.write(_raw_glb(g1, binary))
+    data = load_glb(path)
+    assert data["vertices"].shape == (6, 3)
+    np.testing.assert_array_equal(data["faces"], [[0, 1, 2], [3, 4, 5]])
+    np.testing.assert_allclose(data["vertices"][3:], pos + 5.0)
+
+
+CHILI = "/root/reference/examples/chili.glb"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(CHILI),
+                    reason="reference examples not mounted")
+def test_glb_real_world_chili():
+    """chili.glb — a real-world GLB our writer did NOT produce — loads with
+    sane geometry, UVs in range, and its 2048^2 texture."""
+    data = load_glb(CHILI)
+    v, f = data["vertices"], data["faces"]
+    assert len(v) == 13465
+    assert f.min() >= 0 and f.max() < len(v)
+    assert np.isfinite(v).all()
+    assert "texture" in data and data["texture"].shape[0] >= 1024
+    assert "uv" in data and -1e-3 <= data["uv"].min() and \
+        data["uv"].max() <= 1 + 1e-3
+    # mesh spans a nonzero volume (not collapsed by a bad transform chain)
+    ext = v.max(0) - v.min(0)
+    assert (ext > 1e-3).all()
+
+
 def test_obj_load(tmp_path):
     p = tmp_path / "tri.obj"
     p.write_text("""v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nvt 0 0\nvt 1 0\nvt 0 1\nvt 1 1\nf 1/1 2/2 3/3\nf 2/2 4/4 3/3\n""")
