@@ -1,17 +1,26 @@
 """Benchmark: TRUE end-to-end seconds per 32-frame clip on one chip.
 
-Times the full `4D_from_existing` product path via ``MotionPipeline.run`` —
-video decode, foreground segmentation, mesh load + unit-cube normalisation,
-16384 textured surface samples, model inference (shape encode, video encode,
-chunked point decode), trajectory smoothing, and animated-GLB export — on a
-32-frame clip (BASELINE target: < 5 s on v5e). Weights are random (no
-reference checkpoints exist in this environment); the compute path and data
-movement are identical to a converted-weights run.
+Times the full `4D_from_existing` product path via ``MotionPipeline.run`` on
+the REAL reference assets — chili.glb (13 465 verts, 2048^2 texture) +
+chili.mp4 (720^2) from /root/reference/examples — covering video decode,
+foreground segmentation, mesh load + unit-cube normalisation, 16384 textured
+surface samples, model inference (shape encode, video encode, chunked point
+decode), trajectory smoothing, and animated-GLB export. BASELINE target:
+< 5 s per 32-frame clip on v5e. Weights are random (no reference checkpoints
+exist in this environment); the compute path and data movement are identical
+to a converted-weights run. Falls back to the synthetic blob assets when the
+reference tree is not mounted.
 
-Prints ONE JSON line on stdout. Secondary metrics go to stderr:
+Prints ONE JSON line on stdout (p50 of >= 10 timed runs). Secondary metrics
+go to stderr:
+  - run spread (p90 / min / max): the e2e number is host-sensitive — decode,
+    sampling and GLB export run on host, so concurrent host load inflates it
+    (measured round 3: a parallel pytest made 2.6 s runs read 80-130 s);
+  - long-video sliding-window throughput (128 frames through 32-frame
+    windows, frames/s);
   - model-only device seconds per clip (chained-iteration methodology:
-    ``block_until_ready`` does not synchronise on tunneled backends), and
-  - inference MFU from the compiled programs' XLA flop counts.
+    ``block_until_ready`` does not synchronise on tunneled backends) and
+    inference MFU from the compiled programs' XLA flop counts.
 """
 
 import json
@@ -24,6 +33,8 @@ import numpy as np
 TARGET_SEC = 5.0
 T, N_SHAPE = 32, 16384
 PEAK_FLOPS = 197e12  # v5e bf16
+REF_MESH = "/root/reference/examples/chili.glb"
+REF_VIDEO = "/root/reference/examples/chili.mp4"
 
 
 def log(*a):
@@ -31,6 +42,9 @@ def log(*a):
 
 
 def ensure_assets(tmp="/tmp/motion324_bench"):
+    if os.path.exists(REF_MESH) and os.path.exists(REF_VIDEO):
+        return REF_MESH, REF_VIDEO
+    log("reference examples not mounted - falling back to synthetic assets")
     os.makedirs(tmp, exist_ok=True)
     mesh = os.path.join(tmp, "blob.glb")
     video = os.path.join(tmp, "blob32.mp4")
@@ -69,16 +83,32 @@ def main():
 
     t0 = time.perf_counter()
     run()  # compile + warm caches
-    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s  "
+        f"[{os.path.basename(mesh_path)} + {os.path.basename(video_path)}]")
 
     times = []
-    for _ in range(3):
+    for i in range(10):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    e2e = float(np.median(times))
+    e2e = float(np.percentile(times, 50))
+    p90 = float(np.percentile(times, 90))
+    log(f"e2e per 32-frame clip over {len(times)} runs: p50 {e2e:.3f}s  "
+        f"p90 {p90:.3f}s  min {min(times):.3f}s  max {max(times):.3f}s  "
+        f"(spread is host-load-sensitive; see module docstring)")
 
-    # ---- secondary: device-only model seconds + MFU -----------------------
+    # ---- secondary: long-video sliding-window throughput -------------------
+    try:
+        t0 = time.perf_counter()
+        pipeline.run(mesh_path, video_path, out_dir,
+                     num_shape_samples=N_SHAPE, max_frames=128)
+        dt = time.perf_counter() - t0
+        log(f"long-video: 128 frames via 32-frame sliding windows in "
+            f"{dt:.2f}s ({128 / dt:.1f} frames/s e2e)")
+    except Exception as e:
+        log(f"long-video bench skipped: {e}")
+
+    # ---- secondary: device-only model seconds + MFU ------------------------
     try:
         model_sec, mfu = _model_only(pipeline, jax, jnp)
         log(f"model-only device sec/clip: {model_sec:.3f}  "

@@ -94,6 +94,26 @@ def _border_segment(x, border: int = 8, sigma_factor: float = 4.0):
     return (dist.max(axis=-1) > sigma_factor).astype(x.dtype)
 
 
+def resize_frames(video: np.ndarray, size: int) -> np.ndarray:
+    """Host-side bilinear resize of ``(T, H, W, 3)`` frames to ``size``^2.
+
+    Matches the model's in-graph resize (and the reference's
+    ``F.interpolate(mode="bilinear", align_corners=False)``,
+    model/Pcd_motion.py:472) — cv2 INTER_LINEAR uses the same half-pixel
+    convention. Doing this on host before upload shrinks the host->device
+    transfer ~10x for 720p inputs (50 MB -> 4.8 MB uint8 per 32-frame clip
+    over the tunnel), which dominated e2e wall-time variance.
+    """
+    import cv2
+    if video.shape[1] == size and video.shape[2] == size:
+        return video
+    out = np.empty((video.shape[0], size, size, 3), dtype=video.dtype)
+    for i, frame in enumerate(video):
+        cv2.resize(frame, (size, size), dst=out[i],
+                   interpolation=cv2.INTER_LINEAR)
+    return out
+
+
 def to_blender_coords(trajs: np.ndarray) -> np.ndarray:
     """(x, y, z) -> (x, -z, y) (reference scripts/inference_with_video_mesh.py:411-418)."""
     out = trajs.copy()
@@ -279,14 +299,20 @@ class MotionPipeline:
             num_shape_samples: int = 16384, smooth: bool = True,
             fps: int = 12, max_frames: int | None = None,
             use_segmentation: bool = True,
-            segmentation_params=None) -> str:
+            segmentation_params=None, uint8_upload: bool = True,
+            host_resize: bool = True) -> str:
         """The `4D_from_existing` product path: mesh + video -> animated GLB.
 
         ``use_segmentation`` masks the video to a black background before the
         model, as the reference does by default in this path (reference:
         scripts/inference_with_video_mesh.py:357-358, 4D_from_existing.sh:62);
         ``segmentation_params`` selects converted U2Net weights, else the
-        border-statistics fallback segments.
+        border-statistics fallback segments. ``uint8_upload`` quantizes the
+        video for a 4x smaller host->device transfer (<=1/510 per-pixel
+        error); disable it for exact-parity runs against the reference's
+        float pipeline. ``host_resize`` downsamples frames to the model's
+        input size on host before upload (see :func:`resize_frames`);
+        disable to reproduce the in-graph resize exactly.
         """
         from motion324_tpu.utils.profiling import phase_timer
         os.makedirs(output_dir, exist_ok=True)
@@ -309,10 +335,14 @@ class MotionPipeline:
         log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
             f"{' (segmented)' if use_segmentation else ''}")
 
+        if host_resize:
+            with phase_timer("host resize"):
+                video = resize_frames(video, self.cfg.image_size)
         with phase_timer("model predict"):
-            # ship the video as uint8: 4x smaller host->device transfer
-            video_u8 = (np.clip(video, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
-            trajs = self.predict(inputs, video_u8, segment=seg_in_graph)
+            if uint8_upload:
+                # ship the video as uint8: 4x smaller host->device transfer
+                video = (np.clip(video, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+            trajs = self.predict(inputs, video, segment=seg_in_graph)
         if smooth:
             with phase_timer("smoothing"):
                 trajs = smooth_trajectories(trajs, method="combined",
