@@ -39,18 +39,26 @@ __all__ = ["MotionPipeline", "prepare_mesh_inputs", "load_video"]
 DECODE_CHUNK = 4096  # reference model/Pcd_motion.py:527 eval chunk size
 
 
-def load_video(path: str, max_frames: int | None = None) -> np.ndarray:
-    """Read a video or image file into ``(T, H, W, 3) float32 in [0, 1]``."""
+def load_video(path: str, max_frames: int | None = None,
+               dtype=np.float32) -> np.ndarray:
+    """Read a video or image file into ``(T, H, W, 3)`` RGB.
+
+    float32 in [0, 1] by default; ``dtype=np.uint8`` keeps the decoded
+    bytes (4x less memory — see :func:`motion324_tpu.io.video.read_video`).
+    """
     if path.endswith((".mp4", ".mov", ".avi", ".mkv")):
         from motion324_tpu.io.video import read_video
-        return read_video(path, max_frames)
+        return read_video(path, max_frames, dtype=dtype)
     import imageio.v3 as iio
     frames = np.asarray(iio.imread(path))
     if frames.ndim == 3:
         frames = frames[None]
     if max_frames:
         frames = frames[:max_frames]
-    return frames[..., :3].astype(np.float32) / 255.0
+    frames = frames[..., :3]
+    if np.dtype(dtype) == np.uint8:
+        return frames.astype(np.uint8)
+    return frames.astype(np.float32) / 255.0
 
 
 def prepare_mesh_inputs(mesh: TriMesh, num_shape_samples: int = 16384,
@@ -233,6 +241,8 @@ class MotionPipeline:
                 if tokens.shape[1] % sp_n:
                     return _rep_decode(params, tokens, p, n, c)
                 return _sp_decode(params, tokens, p, n, c)
+
+            self._window_fused = None  # SP keeps per-stage shard_map programs
         else:
             @functools.partial(jax.jit, static_argnums=(3,))
             def _encode_video(params, video, mesh_feat, segment: bool = False):
@@ -244,36 +254,69 @@ class MotionPipeline:
                 return model.apply(params, tokens, p, n, c,
                                    method=MotionLatentModel.decode_points)
 
+            # one dispatch + one readback per window: video encode and ALL
+            # decode chunks in a single program. Each separate dispatch costs
+            # a tunnel round trip (~30 ms, with multi-second tail latency),
+            # so the per-chunk decode loop dominated e2e wall time at 16384
+            # points / 4096-chunks even though device time is ~0.16 s/clip.
+            @functools.partial(jax.jit, static_argnums=(6,))
+            def _window_fused(params, video, mesh_feat, p, n, c,
+                              segment: bool = False):
+                tokens = _encode_video_math(model, params, video, mesh_feat,
+                                            segment)
+
+                def body(_, pnc):
+                    out = model.apply(params, tokens, *pnc,
+                                      method=MotionLatentModel.decode_points)
+                    return None, out
+
+                _, outs = jax.lax.scan(body, None, (p, n, c))
+                return outs  # (chunks, 1, T, ck, 3)
+
+            self._window_fused = _window_fused
+
         self._encode_shape = _encode_shape
         self._encode_video = _encode_video
         self._decode = _decode
 
     # ------------------------------------------------------------------ #
-    def predict_window(self, mesh_feat, window_video, inputs,
-                       segment: bool = False):
-        """One window: video encode + chunked point decode -> (1, T, N, 3)."""
-        tokens = self._encode_video(self.params, window_video, mesh_feat,
-                                    segment)
+    def _chunked_points(self, inputs):
+        """Pad + chunk the decode point arrays to ``(chunks, 1, ck, 3)``.
+
+        Device-put once per mesh so sliding windows reuse the buffers
+        instead of re-uploading per window.
+        """
         n = inputs["ref_pcd"].shape[1]
         ck = self.decode_chunk
-        if n <= ck:
-            pad = ck - n
-            p = np.pad(inputs["ref_pcd"], ((0, 0), (0, pad), (0, 0)))
-            nn = np.pad(inputs["ref_normal"], ((0, 0), (0, pad), (0, 0)))
-            c = np.pad(inputs["ref_rgb"], ((0, 0), (0, pad), (0, 0)))
-            out = self._decode(self.params, tokens, p, nn, c)
-            return np.asarray(out[:, :, :n])
-        parts = []
-        for i in range(0, n, ck):
-            sl = slice(i, min(i + ck, n))
-            size = sl.stop - sl.start
-            pad = ck - size
-            p = np.pad(inputs["ref_pcd"][:, sl], ((0, 0), (0, pad), (0, 0)))
-            nn = np.pad(inputs["ref_normal"][:, sl], ((0, 0), (0, pad), (0, 0)))
-            c = np.pad(inputs["ref_rgb"][:, sl], ((0, 0), (0, pad), (0, 0)))
-            out = self._decode(self.params, tokens, p, nn, c)
-            parts.append(np.asarray(out[:, :, :size]))
-        return np.concatenate(parts, axis=2)
+        chunks = max(1, -(-n // ck))
+
+        def prep(x):
+            pad = chunks * ck - n
+            x = np.pad(x, ((0, 0), (0, pad), (0, 0)))
+            return jax.device_put(
+                np.transpose(x.reshape(1, chunks, ck, 3), (1, 0, 2, 3)))
+
+        return (prep(inputs["ref_pcd"]), prep(inputs["ref_normal"]),
+                prep(inputs["ref_rgb"]), n)
+
+    def predict_window(self, mesh_feat, window_video, inputs,
+                       segment: bool = False, _chunked=None):
+        """One window: video encode + chunked point decode -> (1, T, N, 3)."""
+        p, nn, c, n = (_chunked if _chunked is not None
+                       else self._chunked_points(inputs))
+        if self._window_fused is not None:
+            out = self._window_fused(self.params, window_video, mesh_feat,
+                                     p, nn, c, segment)
+            # (chunks, 1, T, ck, 3) -> (1, T, chunks*ck, 3), one readback
+            out = np.asarray(out)
+            out = np.transpose(out, (1, 2, 0, 3, 4))
+            return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
+        tokens = self._encode_video(self.params, window_video, mesh_feat,
+                                    segment)
+        parts = [np.asarray(self._decode(self.params, tokens,
+                                         p[i], nn[i], c[i]))
+                 for i in range(p.shape[0])]
+        return np.concatenate(parts, axis=2)[:, :, :n]
 
     def predict(self, inputs, video: np.ndarray,
                 segment: bool = False) -> np.ndarray:
@@ -286,10 +329,11 @@ class MotionPipeline:
         mesh_feat = self._encode_shape(
             self.params, inputs["ref_shape_pcd"], inputs["ref_shape_normals"],
             inputs["ref_shape_rgbs"])
+        chunked = self._chunked_points(inputs)
 
         def forward(window):
             return self.predict_window(mesh_feat, window[None], inputs,
-                                       segment=segment)
+                                       segment=segment, _chunked=chunked)
 
         return sliding_window_predict(forward, video, self.window,
                                       inputs["ref_pcd"])
@@ -321,7 +365,11 @@ class MotionPipeline:
             mesh = load_mesh(mesh_path)
             inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
         with phase_timer("video decode"):
-            video = load_video(video_path, max_frames)
+            # keep decoded bytes uint8 when they will be uploaded as uint8
+            # anyway (host U2Net segmentation is the one float consumer)
+            want_u8 = uint8_upload and segmentation_params is None
+            video = load_video(video_path, max_frames,
+                               dtype=np.uint8 if want_u8 else np.float32)
         seg_in_graph = False
         if use_segmentation and segmentation_params is not None:
             # converted U2Net weights: device mask pass, applied on host
@@ -339,7 +387,7 @@ class MotionPipeline:
             with phase_timer("host resize"):
                 video = resize_frames(video, self.cfg.image_size)
         with phase_timer("model predict"):
-            if uint8_upload:
+            if uint8_upload and video.dtype != np.uint8:
                 # ship the video as uint8: 4x smaller host->device transfer
                 video = (np.clip(video, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
             trajs = self.predict(inputs, video, segment=seg_in_graph)

@@ -15,8 +15,14 @@ import numpy as np
 __all__ = ["read_video", "write_video"]
 
 
-def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
-    """-> (T, H, W, 3) float32 RGB in [0, 1]."""
+def read_video(path: str, max_frames: int | None = None,
+               dtype=np.float32) -> np.ndarray:
+    """-> (T, H, W, 3) RGB: float32 in [0, 1] (default) or uint8.
+
+    ``dtype=np.uint8`` skips the float conversion — a 720p 32-frame clip is
+    50 MB uint8 vs 200 MB f32, and the fresh f32 allocation was measured to
+    stall multi-second under host allocator pressure in long processes.
+    """
     import cv2
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -32,7 +38,10 @@ def read_video(path: str, max_frames: int | None = None) -> np.ndarray:
     cap.release()
     if not frames:
         raise ValueError(f"no frames decoded from {path}")
-    return np.stack(frames).astype(np.float32) / 255.0
+    out = np.stack(frames)
+    if np.dtype(dtype) == np.uint8:
+        return out
+    return out.astype(np.float32) / 255.0
 
 
 def write_video(path: str, frames: np.ndarray, fps: int = 12) -> str:
