@@ -323,6 +323,42 @@ def _write_glb(path: str, gltf: dict, binary: bytes) -> None:
         f.write(binary)
 
 
+_TEX_ENCODE_CACHE: dict = {}
+
+
+def _encode_texture(texture) -> tuple[bytes, str]:
+    """Image-encode a texture atlas, memoised on content.
+
+    PNG-encoding a 2048^2 atlas costs ~1 s of host time per export (it
+    dominated the product path's export phase); JPEG q95 is ~25x faster and
+    both are valid glTF mime types — PNG (lossless) is kept for small
+    textures. Even the JPEG encode is ~0.15 s and spikes to ~0.8 s under
+    host CPU contention, so repeated exports of the same atlas (every clip
+    of a video, every window of a batch) hit a small content-keyed cache:
+    the key combines a strided pixel subsample with a full-array checksum,
+    so any pixel change re-encodes.
+    """
+    t = np.asarray(texture)
+    key = (t.shape, str(t.dtype), t[::109, ::113].tobytes(),
+           float(t.sum(dtype=np.float64)))
+    hit = _TEX_ENCODE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from PIL import Image
+    img = Image.fromarray((np.clip(t, 0, 1) * 255).astype(np.uint8))
+    buf = _io.BytesIO()
+    if img.width * img.height >= 1024 * 1024:
+        img.save(buf, format="JPEG", quality=95)
+        mime = "image/jpeg"
+    else:
+        img.save(buf, format="PNG")
+        mime = "image/png"
+    if len(_TEX_ENCODE_CACHE) >= 4:
+        _TEX_ENCODE_CACHE.pop(next(iter(_TEX_ENCODE_CACHE)))
+    _TEX_ENCODE_CACHE[key] = (buf.getvalue(), mime)
+    return _TEX_ENCODE_CACHE[key]
+
+
 def _base_mesh_json(b: _BinBuilder, vertices, faces, uv=None, texture=None,
                     vertex_colors=None):
     pos_acc = b.add(vertices.astype(np.float32), "VEC3", 5126, target=34962,
@@ -340,20 +376,8 @@ def _base_mesh_json(b: _BinBuilder, vertices, faces, uv=None, texture=None,
         attributes["COLOR_0"] = b.add(vertex_colors.astype(np.float32), "VEC3",
                                       5126, target=34962)
     if texture is not None and uv is not None:
-        from PIL import Image
-        img = Image.fromarray((np.clip(texture, 0, 1) * 255).astype(np.uint8))
-        buf = _io.BytesIO()
-        # PNG-encoding a 2048^2 atlas costs ~1 s of host time per export
-        # (it dominated the product path's export phase); JPEG q95 is ~25x
-        # faster and both are valid glTF mime types. Keep PNG (lossless) for
-        # small textures, JPEG for product-size atlases.
-        if img.width * img.height >= 1024 * 1024:
-            img.save(buf, format="JPEG", quality=95)
-            mime = "image/jpeg"
-        else:
-            img.save(buf, format="PNG")
-            mime = "image/png"
-        b.add_raw(buf.getvalue())
+        raw_tex, mime = _encode_texture(texture)
+        b.add_raw(raw_tex)
         gltf["images"] = [{"bufferView": len(b.views) - 1,
                            "mimeType": mime}]
         gltf["samplers"] = [{"magFilter": 9729, "minFilter": 9729,

@@ -67,7 +67,8 @@ class ModelConfig:
     dino_heads: int = 12       # no projection layer — reference relies on 768==768)
     dtype: Any = jnp.float32
     remat: bool = False
-    remat_policy: str | None = None  # 'save_attn': keep flash residuals
+    remat_policy: str | None = None  # 'save_attn' | 'save_matmuls'
+    scan_unroll: int = 1             # lax.scan unroll for the layer stacks
     attn_backend: str | None = None
     # sequence-parallel mesh axis (inference): the FRAME axis is sharded
     # across devices inside shard_map; global attention all-gathers K/V over
@@ -92,6 +93,7 @@ class ModelConfig:
             decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 2)),
             remat=cfg.training.get("remat", False) if remat is None else remat,
             remat_policy=cfg.training.get("remat_policy", None),
+            scan_unroll=int(cfg.training.get("scan_unroll", 1)),
             attn_backend=attn_backend,
         )
 
@@ -221,7 +223,8 @@ class MotionLatentModel(nn.Module):
         self.frame_tokens = 4 + c.tokens + grid * grid  # [special|mesh|image]
         self.alternating_blocks = stack_blocks(
             AlternatingPair, n_pairs, remat=c.remat,
-            remat_policy=c.remat_policy, name="alternating_blocks",
+            remat_policy=c.remat_policy, unroll=c.scan_unroll,
+            name="alternating_blocks",
             frame_tokens=self.frame_tokens, sp_axis=c.sp_axis, **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)

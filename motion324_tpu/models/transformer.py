@@ -26,8 +26,21 @@ __all__ = ["RMSNorm", "MLP", "SelfAttention", "CrossAttention",
            "TransformerBlock", "CrossAttentionBlock", "stack_blocks"]
 
 
+_REMAT_POLICIES = {
+    # flash kernel residuals only: backward DCEs the flash-forward replay
+    "save_attn": ("flash_o", "flash_lse"),
+    # + the two big matmul outputs per block (QKV projection, MLP hidden):
+    # the backward replay shrinks to layernorms/elementwise + the o-proj —
+    # trades ~330 MB/block (micro-batch 8, dyscene shapes) for skipping the
+    # projection/FFN recompute. Only viable with grad accumulation (the
+    # monolithic batch-32 step OOMs).
+    "save_matmuls": ("flash_o", "flash_lse", "qkv_proj", "mlp_hidden"),
+}
+
+
 def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
-                 remat_policy: str | None = None, **block_kwargs):
+                 remat_policy: str | None = None, unroll: int = 1,
+                 **block_kwargs):
     """Stack ``length`` identical blocks via ``nn.scan`` (weights differ per
     layer, the LAYER PROGRAM is compiled once).
 
@@ -38,18 +51,23 @@ def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
     wraps the block in ``nn.remat`` (the jax.checkpoint analogue of the
     reference's torch.utils.checkpoint layer groups, model/Pcd_motion.py:375-448).
 
-    ``remat_policy='save_attn'`` keeps the flash kernel's RESIDUALS (the
-    padded output + 8-lane logsumexp, named inside the custom-vjp forward)
-    resident, which lets the backward DCE the flash-forward replay entirely
-    and run the backward kernel directly. Memory: ~240 MB/global layer at the
-    dyscene batch-32 shapes. An earlier variant that saved the post-reshape
-    attention *outputs* could not skip the kernel replay (the residual lse
-    was not derivable) and regressed at batch 32; this one is A/B'd via
-    bench_train.
+    ``remat_policy`` selects a named-save set (:data:`_REMAT_POLICIES`):
+    'save_attn' keeps the flash kernel's RESIDUALS (the padded output +
+    8-lane logsumexp, named inside the custom-vjp forward) resident, which
+    lets the backward DCE the flash-forward replay entirely and run the
+    backward kernel directly (~240 MB/global layer at the dyscene batch-32
+    shapes). 'save_matmuls' additionally keeps the QKV projection and the
+    MLP hidden. An earlier variant that saved the post-reshape attention
+    *outputs* could not skip the kernel replay (the residual lse was not
+    derivable) and regressed at batch 32; these are A/B'd via bench_train.
+
+    ``unroll`` is forwarded to ``lax.scan``: >1 trades compile time for
+    removing per-iteration dynamic-update-slice overhead on the stacked
+    saves (the layer program is still traced once).
     """
-    if remat and remat_policy == "save_attn":
+    if remat and remat_policy:
         policy = jax.checkpoint_policies.save_only_these_names(
-            "flash_o", "flash_lse")
+            *_REMAT_POLICIES[remat_policy])
         inner_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
     elif remat:
         inner_cls = nn.remat(block_cls, prevent_cse=False)
@@ -68,7 +86,7 @@ def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
         def __call__(self, x):
             scan = nn.scan(_Body, variable_axes={"params": 0},
                            split_rngs={"params": True, "dropout": True},
-                           length=length)
+                           length=length, unroll=unroll)
             x, _ = scan(name="layers")(x, None)
             return x
 
@@ -103,6 +121,7 @@ class MLP(nn.Module):
     def __call__(self, x):
         hidden = self.dim * self.mlp_ratio
         x = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        x = checkpoint_name(x, "mlp_hidden")  # 'save_matmuls' save point
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
         return x
@@ -133,6 +152,7 @@ class SelfAttention(nn.Module):
         nh = self.dim // self.head_dim
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="to_qkv")(x)
+        qkv = checkpoint_name(qkv, "qkv_proj")  # 'save_matmuls' save point
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, nh, self.head_dim)
         k = k.reshape(b, l, nh, self.head_dim)

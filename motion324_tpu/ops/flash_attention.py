@@ -444,8 +444,17 @@ def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
     # fwd pallas_call; gradients bit-identical). checkpoint_name is identity
     # when no policy is active.
     o = checkpoint_name(o, "flash_o")
-    lse = checkpoint_name(lse, "flash_lse")
-    return o, (q, k, v, o, lse)
+    # The lse residual is carried 2-D ([bh, seq], lane 0 of the kernel's
+    # lane-replicated [bh, seq, lanes] output): with the 8-wide replication
+    # axis minormost, the (8,128) HBM tiling pads the residual 16x — under a
+    # save-names remat policy the per-layer scan stack of those residuals
+    # materialised 1.33 GB of pure padding at the dyscene batch-32 shapes
+    # (seen in an XLA OOM dump). A transpose does NOT fix it (XLA's layout
+    # assignment bitcasts it away and re-pads); dropping the replicated axis
+    # does. The backward re-broadcasts (~91 MB, noise next to the kernels),
+    # and the kernels only ever read lane 0.
+    lse2 = checkpoint_name(lse[..., 0], "flash_lse")
+    return o, (q, k, v, o, lse2)
 
 
 # Fused (single-sweep) backward is used whenever the full-KV f32 dk/dv
@@ -463,7 +472,9 @@ _SINGLE_KV = os.environ.get("MOTION324_SINGLE_KV", "1") != "0"
 
 
 def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):
-    q, k, v, o, lse = res
+    q, k, v, o, lse2 = res
+    # back to the kernels' lane-replicated [bh, seq, lanes] contract
+    lse = jnp.broadcast_to(lse2[..., None], lse2.shape + (_LANES,))
     if k.shape[1] <= _FUSED_BWD_MAX_KV and k.shape[2] <= 128:
         return _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv,
                           interpret)

@@ -25,12 +25,16 @@ def main(argv=None):
     p.add_argument("--decode-chunk", type=int, default=1,
                    help="frames per point-decoder scan step (HBM permitting)")
     p.add_argument("--remat-policy", default=None,
-                   choices=("none", "save_attn"),
+                   choices=("none", "save_attn", "save_matmuls"),
                    help="override the config's remat policy: 'save_attn' "
                         "keeps flash residuals (skips the flash-forward "
-                        "replay in backward), 'none' forces full remat "
-                        "(the configs/dyscene.yaml default is save_attn, "
-                        "so omitting the flag now benchmarks THAT)")
+                        "replay in backward), 'save_matmuls' additionally "
+                        "keeps the QKV projection + MLP hidden (backward "
+                        "replay shrinks to norms/elementwise), 'none' forces "
+                        "full remat (the configs/dyscene.yaml default is "
+                        "save_attn, so omitting the flag benchmarks THAT)")
+    p.add_argument("--unroll", type=int, default=0,
+                   help="lax.scan unroll for the layer stacks (0 = config)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation steps: the per-chip batch "
                         "runs as `accum` micro-batches of batch/accum "
@@ -58,6 +62,8 @@ def main(argv=None):
         mcfg = dataclasses.replace(
             mcfg, remat_policy=None if args.remat_policy == "none"
             else args.remat_policy)
+    if args.unroll:
+        mcfg = dataclasses.replace(mcfg, scan_unroll=args.unroll)
     model = MotionLatentModel(mcfg)
     mesh = make_mesh()
     n_dev = mesh.devices.size
