@@ -281,12 +281,13 @@ class MotionPipeline:
 
     # ------------------------------------------------------------------ #
     def _chunked_points(self, inputs):
-        """Pad + chunk the decode point arrays to ``(chunks, 1, ck, 3)``.
+        """Pad + chunk the decode point arrays to ``(chunks, b, ck, 3)``.
 
         Device-put once per mesh so sliding windows reuse the buffers
-        instead of re-uploading per window.
+        instead of re-uploading per window. ``b`` follows the inputs'
+        leading axis (1 for single-clip, B for the batched path).
         """
-        n = inputs["ref_pcd"].shape[1]
+        b, n = inputs["ref_pcd"].shape[:2]
         ck = self.decode_chunk
         chunks = max(1, -(-n // ck))
 
@@ -294,7 +295,7 @@ class MotionPipeline:
             pad = chunks * ck - n
             x = np.pad(x, ((0, 0), (0, pad), (0, 0)))
             return jax.device_put(
-                np.transpose(x.reshape(1, chunks, ck, 3), (1, 0, 2, 3)))
+                np.transpose(x.reshape(b, chunks, ck, 3), (1, 0, 2, 3)))
 
         return (prep(inputs["ref_pcd"]), prep(inputs["ref_normal"]),
                 prep(inputs["ref_rgb"]), n)
@@ -336,6 +337,37 @@ class MotionPipeline:
                                        segment=segment, _chunked=chunked)
 
         return sliding_window_predict(forward, video, self.window,
+                                      inputs["ref_pcd"])
+
+    def predict_batch(self, inputs, videos: np.ndarray,
+                      segment: bool = False) -> np.ndarray:
+        """B same-shape clips per device program: ``(B, T, N, 3)``.
+
+        The throughput path for the `long_videos.txt` batch driver
+        (reference: dataset/long_videos.txt protocol): clips that share
+        static shapes (frame count, resolution, sample count) stack on the
+        leading batch axis, so the MXU runs at batch B instead of B
+        dispatches at batch 1 — amortising per-dispatch overhead and padding
+        losses. ``inputs`` holds ``(B, ...)``-stacked mesh arrays; ``videos``
+        is ``(B, T, H, W, 3)`` float32 or uint8.
+
+        Window stitching reuses :func:`sliding_window_predict` unchanged by
+        feeding it the TIME-MAJOR video ``(T, B, H, W, 3)`` — its slicing is
+        over axis 0 and its merge logic is over axes (0=batch, 1=time) of the
+        per-window outputs, both already batch-shape-agnostic.
+        """
+        mesh_feat = self._encode_shape(
+            self.params, inputs["ref_shape_pcd"], inputs["ref_shape_normals"],
+            inputs["ref_shape_rgbs"])
+        chunked = self._chunked_points(inputs)
+        vt = np.swapaxes(videos, 0, 1)
+
+        def forward(window):
+            wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))
+            return self.predict_window(mesh_feat, wb, inputs,
+                                       segment=segment, _chunked=chunked)
+
+        return sliding_window_predict(forward, vt, self.window,
                                       inputs["ref_pcd"])
 
     # ------------------------------------------------------------------ #
@@ -406,3 +438,61 @@ class MotionPipeline:
         log(f"animated GLB written to {out_path} "
             f"({time.perf_counter() - t0:.2f}s total)")
         return out_path
+
+    # ------------------------------------------------------------------ #
+    def run_batch(self, jobs, output_dir: str,
+                  num_shape_samples: int = 16384, smooth: bool = True,
+                  fps: int = 12, max_frames: int | None = None,
+                  use_segmentation: bool = True,
+                  uint8_upload: bool = True) -> list:
+        """Batched `long_videos.txt` driver: N (mesh, video) jobs, grouped by
+        decoded video shape, each group predicted at batch B in one program.
+
+        ``jobs`` is a list of ``(mesh_path, video_path)``; outputs land in
+        ``output_dir/<video_stem>/output_animation.glb``. Jobs whose decoded
+        videos differ in shape fall into separate groups (each group shares
+        one compiled program; the window/sample shapes are identical across
+        all groups already, so only the leading batch dim recompiles).
+        """
+        os.makedirs(output_dir, exist_ok=True)
+        loaded = []
+        for mesh_path, video_path in jobs:
+            mesh = load_mesh(mesh_path)
+            inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
+            video = load_video(video_path, max_frames,
+                               dtype=np.uint8 if uint8_upload else np.float32)
+            video = resize_frames(video, self.cfg.image_size)
+            stem = os.path.splitext(os.path.basename(video_path))[0]
+            loaded.append((inputs, norm_mesh, video, stem))
+
+        groups: dict = {}
+        for idx, (inputs, _, video, _) in enumerate(loaded):
+            groups.setdefault(video.shape, []).append(idx)
+
+        out_paths = [None] * len(loaded)
+        for shape, idxs in groups.items():
+            batch_inputs = {
+                k: np.concatenate([loaded[i][0][k] for i in idxs], axis=0)
+                for k in loaded[idxs[0]][0]}
+            videos = np.stack([loaded[i][2] for i in idxs], axis=0)
+            t0 = time.perf_counter()
+            trajs = self.predict_batch(batch_inputs, videos,
+                                       segment=use_segmentation)
+            dt = time.perf_counter() - t0
+            log(f"batch predict: {len(idxs)} clips x {shape[0]} frames in "
+                f"{dt:.2f}s ({len(idxs) / dt:.2f} clips/s)")
+            if smooth:
+                trajs = smooth_trajectories(trajs, method="combined",
+                                            motion_threshold=0.002, sigma=1.0)
+            for bi, i in enumerate(idxs):
+                _, norm_mesh, _, stem = loaded[i]
+                clip_dir = os.path.join(output_dir, stem)
+                os.makedirs(clip_dir, exist_ok=True)
+                out_path = os.path.join(clip_dir, "output_animation.glb")
+                export_animated_glb(
+                    out_path, to_blender_coords(norm_mesh.vertices),
+                    norm_mesh.faces, to_blender_coords(trajs[bi]), fps=fps,
+                    uv=norm_mesh.uv, texture=norm_mesh.texture,
+                    vertex_colors=norm_mesh.vertex_colors)
+                out_paths[i] = out_path
+        return out_paths

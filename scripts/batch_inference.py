@@ -31,6 +31,10 @@ def main(argv=None):
                         help="multi-chip partitioning over the mp mesh axis "
                              "('sp' shards the frame axis: right for the "
                              "long-video windows this driver batches)")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="clips per device program: jobs are grouped by "
+                             "decoded video shape and predicted at batch B "
+                             "(throughput mode; B=1 runs jobs one at a time)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -75,22 +79,36 @@ def main(argv=None):
                 and not line.startswith("#")]
     log(f"{len(jobs)} jobs from {args.list_path}")
 
+    n_samples = int(cfg.training.get("num_shape_samples", 16384))
     failures = 0
-    for job in jobs:
-        if len(job) < 2:
-            log(f"skipping malformed line: {job}")
-            failures += 1
-            continue
-        mesh_path, video_path = job[0], job[1]
-        stem = os.path.splitext(os.path.basename(video_path))[0]
-        out_dir = os.path.join(args.output, stem)
-        try:
-            pipeline.run(mesh_path, video_path, out_dir,
-                         num_shape_samples=int(cfg.training.get(
-                             "num_shape_samples", 16384)))
-        except Exception as e:  # keep the batch going (reference batch mode)
-            log(f"job {stem} FAILED: {e!r}")
-            failures += 1
+    good = [j for j in jobs if len(j) >= 2]
+    failures += len(jobs) - len(good)
+    for j in jobs:
+        if len(j) < 2:
+            log(f"skipping malformed line: {j}")
+
+    if args.batch > 1:
+        # throughput mode: run_batch groups same-shape clips and predicts
+        # them at batch B in one program per window
+        for i in range(0, len(good), args.batch):
+            chunk = [(j[0], j[1]) for j in good[i:i + args.batch]]
+            try:
+                pipeline.run_batch(chunk, args.output,
+                                   num_shape_samples=n_samples)
+            except Exception as e:
+                log(f"batch group {i // args.batch} FAILED: {e!r}")
+                failures += len(chunk)
+    else:
+        for job in good:
+            mesh_path, video_path = job[0], job[1]
+            stem = os.path.splitext(os.path.basename(video_path))[0]
+            out_dir = os.path.join(args.output, stem)
+            try:
+                pipeline.run(mesh_path, video_path, out_dir,
+                             num_shape_samples=n_samples)
+            except Exception as e:  # keep the batch going (reference batch mode)
+                log(f"job {stem} FAILED: {e!r}")
+                failures += 1
     log(f"batch done: {len(jobs) - failures}/{len(jobs)} succeeded")
     return 1 if failures else 0
 

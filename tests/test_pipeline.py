@@ -129,3 +129,46 @@ def test_predict_uint8_matches_float(pipeline):
     # in-graph segmentation path runs and masks something
     t_seg = pipeline.predict(inputs, video_u8, segment=True)
     assert np.isfinite(t_seg).all()
+
+
+def test_predict_batch_matches_per_clip(pipeline):
+    """B stacked clips through predict_batch == B independent predict calls
+    (same windows, same stitching, batch axis only)."""
+    r = np.random.RandomState(3)
+    mesh_a = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    mesh_b = TriMesh(vertices=CUBE_V * 0.5, faces=CUBE_F)
+    inp_a, _, _ = prepare_mesh_inputs(mesh_a, 64)
+    inp_b, _, _ = prepare_mesh_inputs(mesh_b, 64)
+    vids = r.rand(2, 7, 28, 28, 3).astype(np.float32)
+
+    batch_inputs = {k: np.concatenate([inp_a[k], inp_b[k]], axis=0)
+                    for k in inp_a}
+    got = pipeline.predict_batch(batch_inputs, vids)
+    assert got.shape == (2, 7, 8, 3)
+
+    want_a = pipeline.predict(inp_a, vids[0])
+    want_b = pipeline.predict(inp_b, vids[1])
+    np.testing.assert_allclose(got[0], want_a[0], atol=1e-5)
+    np.testing.assert_allclose(got[1], want_b[0], atol=1e-5)
+
+
+def test_run_batch_writes_outputs(pipeline, tmp_path):
+    import cv2
+    glb_path = str(tmp_path / "cube.glb")
+    export_glb(glb_path, CUBE_V, CUBE_F)
+    vid_paths = []
+    r = np.random.RandomState(4)
+    for name in ("clip_a", "clip_b"):
+        vp = str(tmp_path / f"{name}.mp4")
+        w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 12, (28, 28))
+        for _ in range(4):
+            w.write((r.rand(28, 28, 3) * 255).astype(np.uint8))
+        w.release()
+        vid_paths.append(vp)
+
+    out = pipeline.run_batch([(glb_path, vp) for vp in vid_paths],
+                             str(tmp_path / "out"), num_shape_samples=64)
+    assert len(out) == 2
+    for p, stem in zip(out, ("clip_a", "clip_b")):
+        assert p.endswith(os.path.join(stem, "output_animation.glb"))
+        assert os.path.getsize(p) > 0
