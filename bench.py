@@ -66,7 +66,9 @@ def main():
     from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
 
     mesh_path, video_path = ensure_assets()
-    cfg = ModelConfig(dtype=jnp.bfloat16, frames=12)
+    # decode all 32 window frames in one decoder step (inference is
+    # forward-only; the per-frame scan was dispatch-overhead-bound)
+    cfg = ModelConfig(dtype=jnp.bfloat16, frames=12, decode_frames_chunk=T)
     model = MotionLatentModel(cfg)
 
     example = {k: jnp.zeros((1, 64, 3)) for k in
@@ -116,6 +118,15 @@ def main():
     except Exception as e:  # never fail the primary metric
         log(f"model-only bench skipped: {e}")
 
+    # ---- secondary: batched multi-clip throughput (batch_inference --batch)
+    try:
+        for b in (4, 8):
+            sec, mfu = _model_only(pipeline, jax, jnp, b=b)
+            log(f"batched clips (B={b}): device {sec:.3f}s/window = "
+                f"{b / sec:.1f} clips/s  MFU {mfu * 100:.1f}%")
+    except Exception as e:
+        log(f"batched throughput bench skipped: {e}")
+
     print(json.dumps({
         "metric": "e2e_sec_per_32frame_clip",
         "value": round(e2e, 3),
@@ -124,19 +135,20 @@ def main():
     }))
 
 
-def _model_only(pipeline, jax, jnp):
+def _model_only(pipeline, jax, jnp, b: int = 1):
     """Chained device-only timing of encode_shape+encode_video+decode at the
-    bench shapes, plus MFU from the compiled XLA flop counts."""
+    bench shapes (``b`` clips per program), plus MFU from the compiled XLA
+    flop counts."""
     r = np.random.RandomState(0)
     f32 = lambda *s: jnp.asarray(r.rand(*s).astype(np.float32))
     inputs = {
-        "ref_shape_pcd": f32(1, N_SHAPE, 3),
-        "ref_shape_normals": f32(1, N_SHAPE, 3),
-        "ref_shape_rgbs": f32(1, N_SHAPE, 3),
-        "ref_pcd": f32(1, N_SHAPE, 3), "ref_normal": f32(1, N_SHAPE, 3),
-        "ref_rgb": f32(1, N_SHAPE, 3),
+        "ref_shape_pcd": f32(b, N_SHAPE, 3),
+        "ref_shape_normals": f32(b, N_SHAPE, 3),
+        "ref_shape_rgbs": f32(b, N_SHAPE, 3),
+        "ref_pcd": f32(b, N_SHAPE, 3), "ref_normal": f32(b, N_SHAPE, 3),
+        "ref_rgb": f32(b, N_SHAPE, 3),
     }
-    video = f32(1, T, 224, 224, 3)
+    video = f32(b, T, 224, 224, 3)
 
     def one_clip(params, video, inputs):
         mesh = pipeline._encode_shape(params, inputs["ref_shape_pcd"],
@@ -175,13 +187,13 @@ def _model_only(pipeline, jax, jnp):
                   inputs["ref_shape_normals"], inputs["ref_shape_rgbs"])),
                 (pipeline._encode_video,
                  (pipeline.params, video,
-                  jnp.zeros((1, 64, 768), jnp.bfloat16))),
+                  jnp.zeros((b, 64, 768), jnp.bfloat16))),
         ):
             ca = fn.lower(*args).compile().cost_analysis()
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             flops += float(ca.get("flops", 0))
         dca = pipeline._decode.lower(
-            pipeline.params, jnp.zeros((1, T, 64, 768), jnp.bfloat16),
+            pipeline.params, jnp.zeros((b, T, 64, 768), jnp.bfloat16),
             inputs["ref_pcd"][:, :ck], inputs["ref_normal"][:, :ck],
             inputs["ref_rgb"][:, :ck]).compile().cost_analysis()
         dca = dca[0] if isinstance(dca, (list, tuple)) else dca

@@ -344,8 +344,14 @@ class MotionLatentModel(nn.Module):
         feats = self._point_features(pcd, normals, rgbs)  # (B, N, C)
         # Fold `chunk` frames into the batch axis per scan step: fewer, larger
         # device ops (a 12-step scan of per-frame work is overhead-bound).
-        chunk = self.cfg.decode_frames_chunk
-        if chunk > 1 and t % chunk == 0:
+        # The effective chunk is the largest divisor of T not exceeding the
+        # configured one, so any window length (e.g. 32-frame inference
+        # windows under a 12-frame training config) gets the folding instead
+        # of silently falling back to the per-frame scan.
+        chunk = max(1, min(self.cfg.decode_frames_chunk, t))
+        while t % chunk:
+            chunk -= 1
+        if chunk > 1:
             k = pcd_tokens.shape[2]
             # (B, T, K, C) -> (T/c, c*B, K, C), frame-major within each step;
             # feats broadcasts to c*B INSIDE the scanned step

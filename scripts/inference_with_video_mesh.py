@@ -52,6 +52,11 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
+    # inference is forward-only: decode the whole window per decoder
+    # step (the training-sized chunk left a dispatch-bound frame scan)
+    import dataclasses
+    mcfg = dataclasses.replace(mcfg,
+                               decode_frames_chunk=int(cfg.training.frames))
     model = MotionLatentModel(mcfg)
 
     if args.checkpoint and args.checkpoint.endswith(".pt"):

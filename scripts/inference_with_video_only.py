@@ -94,6 +94,11 @@ def main(argv=None):
     import jax
 
     mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
+    # inference is forward-only: decode the whole window per decoder
+    # step (the training-sized chunk left a dispatch-bound frame scan)
+    import dataclasses
+    mcfg = dataclasses.replace(mcfg,
+                               decode_frames_chunk=int(cfg.training.frames))
     model = MotionLatentModel(mcfg)
     inputs, _, norm_mesh = prepare_mesh_inputs(
         mesh, int(cfg.training.get("num_shape_samples", 16384)))
