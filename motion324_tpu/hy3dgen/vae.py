@@ -121,9 +121,11 @@ class ShapeVAE(nn.Module):
 
     def query(self, points, processed_latents):
         """(B, N, 3) points -> (B, N) occupancy logits."""
-        emb = frequency_embed(points.astype(self.dtype),
+        # frequencies reach 2^{N-1}*pi (~402 at num_freqs=8): the multiply and
+        # sin/cos must run in f32 — bf16 coordinates lose O(1 rad) of phase
+        emb = frequency_embed(points.astype(jnp.float32),
                               num_freqs=self.num_freqs,
-                              include_pi=self.include_pi)
+                              include_pi=self.include_pi).astype(self.dtype)
         q = self.query_proj(emb)
         x = self.geo_decoder(q, processed_latents)
         x = self.ln_post(x)
@@ -138,9 +140,9 @@ class ShapeVAE(nn.Module):
         coherence of volume-decode chunks makes the probe ranking accurate;
         with ``topk >= num_latents`` this equals :meth:`query` exactly.
         """
-        emb = frequency_embed(points.astype(self.dtype),
+        emb = frequency_embed(points.astype(jnp.float32),
                               num_freqs=self.num_freqs,
-                              include_pi=self.include_pi)
+                              include_pi=self.include_pi).astype(self.dtype)
         q = self.query_proj(emb)  # (B, N, W)
         k = min(topk, processed_latents.shape[1])
         probes = q[:, ::probe_stride]  # (B, P, W)
