@@ -145,6 +145,12 @@ class MotionPipeline:
       Right for LONG windows (the global attention's S^2 dominates at
       T=256: 82944 tokens), where TP's per-layer all-reduces lose to one
       KV gather per global layer. Window length must divide by the axis.
+    - ``"pp"``: pipeline parallel over the alternating stack's LAYER axis
+      (:mod:`motion324_tpu.parallel.pp`): each device holds a stage of
+      layers, activations rotate over ICI. One ppermute per stage per
+      window — the lightest communication of the three; right when weights
+      don't fit one chip and windows are short (its bubble shrinks with
+      more clips, so pair it with the batched path).
 
     Single-chip behaviour is unchanged when ``mesh`` is None.
     """
@@ -161,6 +167,7 @@ class MotionPipeline:
         self.mesh = mesh
 
         sp_n = 1
+        pp_n = 1
         if mesh is not None and parallel == "sp":
             from jax.sharding import NamedSharding, PartitionSpec as P
             sp_n = int(mesh.shape.get("mp", 1))
@@ -169,6 +176,13 @@ class MotionPipeline:
                     f"sequence parallelism needs window ({window}) divisible "
                     f"by the mp axis ({sp_n})")
             params = jax.device_put(params, NamedSharding(mesh, P()))
+        elif mesh is not None and parallel == "pp":
+            from jax.sharding import NamedSharding
+            from motion324_tpu.parallel.pp import pp_spec_for
+            pp_n = int(mesh.shape.get("mp", 1))
+            params = jax.device_put(params, jax.tree_util.tree_map_with_path(
+                lambda p, leaf: NamedSharding(mesh, pp_spec_for(p, leaf)),
+                params))
         elif mesh is not None and mesh.shape.get("mp", 1) >= 1:
             from motion324_tpu.parallel.tp import tp_shardings
             params = jax.device_put(params, tp_shardings(params, mesh))
@@ -243,6 +257,31 @@ class MotionPipeline:
                 return _sp_decode(params, tokens, p, n, c)
 
             self._window_fused = None  # SP keeps per-stage shard_map programs
+        elif pp_n > 1:
+            from jax.sharding import PartitionSpec as P
+            from motion324_tpu.parallel.pp import pp_spec_for
+            pp_model = MotionLatentModel(dataclasses.replace(
+                cfg, pp_axis="mp", pp_size=pp_n, pp_microbatches=1))
+            pspecs = jax.tree_util.tree_map_with_path(
+                lambda pth, leaf: pp_spec_for(pth, leaf), self.params)
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def _encode_video(params, video, mesh_feat, segment=False):
+                f = functools.partial(_encode_video_math, pp_model)
+                return jax.shard_map(
+                    lambda p, v, m: f(p, v, m, segment), mesh=mesh,
+                    in_specs=(pspecs, P(), P()), out_specs=P(),
+                    check_vma=False,
+                )(params, video, mesh_feat)
+
+            # the decoder is outside the pipeline: plain replicated apply
+            # (the stage-sharded stack leaves are unused and DCE'd)
+            @jax.jit
+            def _decode(params, tokens, p, n, c):
+                return model.apply(params, tokens, p, n, c,
+                                   method=MotionLatentModel.decode_points)
+
+            self._window_fused = None
         else:
             @functools.partial(jax.jit, static_argnums=(3,))
             def _encode_video(params, video, mesh_feat, segment: bool = False):

@@ -29,7 +29,8 @@ from flax import linen as nn
 
 from motion324_tpu.models.dinov2 import DinoViT
 from motion324_tpu.models.transformer import (CrossAttentionBlock,
-                                              TransformerBlock, stack_blocks)
+                                              TransformerBlock, stack_blocks,
+                                              stack_inner)
 from motion324_tpu.ops.embeddings import (
     apply_point_basis,
     point_embed_basis,
@@ -77,6 +78,14 @@ class ModelConfig:
     # and ``sp_size`` set to the axis size (so pos-embeds cover global T).
     sp_axis: str | None = None
     sp_size: int = 1
+    # pipeline-parallel mesh axis: the alternating stack's LAYER axis is
+    # sharded across ``pp_size`` stages; activations rotate stage-to-stage
+    # over ICI (lax.ppermute) in a GPipe microbatch schedule. Must be applied
+    # inside shard_map with the stack params' leading (layer) axis sharded
+    # over this axis; everything outside the stack is replicated compute.
+    pp_axis: str | None = None
+    pp_size: int = 1
+    pp_microbatches: int = 1
 
     @classmethod
     def from_config(cls, cfg, dtype=None, remat=None, attn_backend=None):
@@ -135,6 +144,54 @@ class AlternatingPair(nn.Module):
         x = TransformerBlock(**kw, attn_save_name="lattn_out", name="local")(
             x.reshape(b * t, l, d)).reshape(b, s, d)
         return x
+
+
+class _PipelineStageTick(nn.Module):
+    """One GPipe tick of a pipeline-parallel alternating stack.
+
+    Each device holds a contiguous SLICE of the stacked layer axis (its
+    stage). Per tick: stage 0 ingests the next microbatch, every stage
+    applies its local layers, activations rotate to the next stage over ICI
+    (``lax.ppermute``); the last stage's output is collected (zeros
+    elsewhere — the caller ``psum``s over the axis to broadcast). Scanned
+    over ``microbatches + pp_size - 1`` ticks with broadcast params; the
+    inner scope is ``layers/block``, identical to :func:`stack_blocks`, so
+    the standard model's stacked params shard onto stages untouched.
+
+    Gradients flow backwards through the reversed ppermute chain (the
+    autodiff transpose of the forward rotation), giving the GPipe backward
+    schedule for free.
+    """
+
+    local_pairs: int
+    pp_axis: str
+    pp_size: int
+    dim: int
+    head_dim: int
+    use_qk_norm: bool
+    dtype: Any
+    frame_tokens: int
+    remat: bool = False
+    remat_policy: str | None = None
+    scan_unroll: int = 1
+    attn_backend: str | None = None
+
+    @nn.compact
+    def __call__(self, carry, x_micro, i):
+        stage = jax.lax.axis_index(self.pp_axis)
+        m = x_micro.shape[0]
+        # stage 0 reads the schedule; later stages consume the rotated carry
+        inp = jnp.where(stage == 0, x_micro[jnp.minimum(i, m - 1)], carry)
+        y = stack_inner(AlternatingPair, self.local_pairs, remat=self.remat,
+                        remat_policy=self.remat_policy,
+                        unroll=self.scan_unroll, dim=self.dim,
+                        head_dim=self.head_dim, use_qk_norm=self.use_qk_norm,
+                        dtype=self.dtype, frame_tokens=self.frame_tokens,
+                        attn_backend=self.attn_backend)(inp)
+        nxt = jax.lax.ppermute(
+            y, self.pp_axis, [(d, d + 1) for d in range(self.pp_size - 1)])
+        out = jnp.where(stage == self.pp_size - 1, y, jnp.zeros_like(y))
+        return nxt, out
 
 
 class _PointDecoderFrame(nn.Module):
@@ -221,11 +278,29 @@ class MotionLatentModel(nn.Module):
         n_pairs = c.n_alternating_layers // 2
         grid = c.image_size // c.patch_size
         self.frame_tokens = 4 + c.tokens + grid * grid  # [special|mesh|image]
-        self.alternating_blocks = stack_blocks(
-            AlternatingPair, n_pairs, remat=c.remat,
-            remat_policy=c.remat_policy, unroll=c.scan_unroll,
-            name="alternating_blocks",
-            frame_tokens=self.frame_tokens, sp_axis=c.sp_axis, **kw)
+        if c.pp_axis is not None and c.pp_size > 1:
+            if n_pairs % c.pp_size:
+                raise ValueError(f"{n_pairs} alternating pairs not divisible "
+                                 f"by pp_size={c.pp_size}")
+            # scanned GPipe ticks over the stage-local layer slice; the param
+            # tree (alternating_blocks/layers/block, leading axis = local
+            # pairs) matches the standard stack sharded over pp_axis
+            tick_cls = nn.scan(_PipelineStageTick,
+                               variable_broadcast="params",
+                               split_rngs={"params": False, "dropout": True},
+                               in_axes=(nn.broadcast, 0), out_axes=0)
+            self.alternating_blocks = tick_cls(
+                local_pairs=n_pairs // c.pp_size, pp_axis=c.pp_axis,
+                pp_size=c.pp_size,
+                remat=c.remat, remat_policy=c.remat_policy,
+                scan_unroll=c.scan_unroll, frame_tokens=self.frame_tokens,
+                name="alternating_blocks", **kw)
+        else:
+            self.alternating_blocks = stack_blocks(
+                AlternatingPair, n_pairs, remat=c.remat,
+                remat_policy=c.remat_policy, unroll=c.scan_unroll,
+                name="alternating_blocks",
+                frame_tokens=self.frame_tokens, sp_axis=c.sp_axis, **kw)
 
         self.pos_drop = nn.Dropout(rate=c.drop_rate)
         # remat: flax LayerNorm otherwise saves ~3 f32 copies of the full
@@ -326,7 +401,21 @@ class MotionLatentModel(nn.Module):
 
         # flat carry through the scanned pairs (layout-natural remat saves)
         l = self.frame_tokens
-        x = self.alternating_blocks(tokens.reshape(b, t * l, c.feat_dim))
+        flat = tokens.reshape(b, t * l, c.feat_dim)
+        if c.pp_axis is not None and c.pp_size > 1:
+            m, p = c.pp_microbatches, c.pp_size
+            if b % m:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"pp_microbatches={m}")
+            xm = flat.reshape(m, b // m, t * l, c.feat_dim)
+            ticks = jnp.arange(m + p - 1)
+            _, outs = self.alternating_blocks(jnp.zeros_like(xm[0]), xm, ticks)
+            # outs[p-1+j] = microbatch j, valid on the LAST stage only;
+            # psum broadcasts it to every stage (zeros elsewhere)
+            outs = jax.lax.psum(outs[p - 1:], c.pp_axis)
+            x = outs.reshape(b, t * l, c.feat_dim)
+        else:
+            x = self.alternating_blocks(flat)
         return x.reshape(b, t, l, c.feat_dim)[:, :, 4:4 + c.tokens, :]
 
     def decode_points(self, pcd_tokens, pcd, normals, rgbs):

@@ -23,7 +23,8 @@ from jax.ad_checkpoint import checkpoint_name
 from motion324_tpu.ops.attention import multi_head_attention
 
 __all__ = ["RMSNorm", "MLP", "SelfAttention", "CrossAttention",
-           "TransformerBlock", "CrossAttentionBlock", "stack_blocks"]
+           "TransformerBlock", "CrossAttentionBlock", "stack_blocks",
+           "stack_inner"]
 
 
 _REMAT_POLICIES = {
@@ -36,6 +37,40 @@ _REMAT_POLICIES = {
     # monolithic batch-32 step OOMs).
     "save_matmuls": ("flash_o", "flash_lse", "qkv_proj", "mlp_hidden"),
 }
+
+
+def stack_inner(block_cls, length: int, *, remat: bool = False,
+                remat_policy: str | None = None, unroll: int = 1,
+                **block_kwargs):
+    """Return ``apply(x)`` for use INSIDE an ``nn.compact`` scope: scans
+    ``length`` blocks under the child scope ``layers/block`` — the exact
+    parameter layout of :func:`stack_blocks`, reusable by wrappers that need
+    the same tree (e.g. the pipeline-parallel stage, which applies a SLICE of
+    the stacked layer axis per device)."""
+    if remat and remat_policy:
+        policy = jax.checkpoint_policies.save_only_these_names(
+            *_REMAT_POLICIES[remat_policy])
+        inner_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
+    elif remat:
+        inner_cls = nn.remat(block_cls, prevent_cse=False)
+    else:
+        inner_cls = block_cls
+
+    class _Body(nn.Module):
+        @nn.compact
+        def __call__(self, carry, _):
+            return inner_cls(**block_kwargs, name="block")(carry), None
+
+    _Body.__name__ = f"Scan{block_cls.__name__}"
+
+    def apply(x):
+        scan = nn.scan(_Body, variable_axes={"params": 0},
+                       split_rngs={"params": True, "dropout": True},
+                       length=length, unroll=unroll)
+        x, _ = scan(name="layers")(x, None)
+        return x
+
+    return apply
 
 
 def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
@@ -65,30 +100,14 @@ def stack_blocks(block_cls, length: int, *, remat: bool = False, name: str,
     removing per-iteration dynamic-update-slice overhead on the stacked
     saves (the layer program is still traced once).
     """
-    if remat and remat_policy:
-        policy = jax.checkpoint_policies.save_only_these_names(
-            *_REMAT_POLICIES[remat_policy])
-        inner_cls = nn.remat(block_cls, prevent_cse=False, policy=policy)
-    elif remat:
-        inner_cls = nn.remat(block_cls, prevent_cse=False)
-    else:
-        inner_cls = block_cls
-
-    class _Body(nn.Module):
-        @nn.compact
-        def __call__(self, carry, _):
-            return inner_cls(**block_kwargs, name="block")(carry), None
-
-    _Body.__name__ = f"Scan{block_cls.__name__}"
+    inner_apply = stack_inner(block_cls, length, remat=remat,
+                              remat_policy=remat_policy, unroll=unroll,
+                              **block_kwargs)
 
     class _Stack(nn.Module):
         @nn.compact
         def __call__(self, x):
-            scan = nn.scan(_Body, variable_axes={"params": 0},
-                           split_rngs={"params": True, "dropout": True},
-                           length=length, unroll=unroll)
-            x, _ = scan(name="layers")(x, None)
-            return x
+            return inner_apply(x)
 
     _Stack.__name__ = f"Stacked{block_cls.__name__}"
     return _Stack(name=name)

@@ -74,9 +74,14 @@ def build_train_step(model, tx, cfg, mesh,
         the batch over ``dp``; the GSPMD partitioner inserts all collectives.
         Identical semantics (global NaN/spike skip falls out of the single
         global loss).
+      - ``'pp'``: GPipe pipeline parallelism over ``mp``
+        (:mod:`motion324_tpu.parallel.pp`) — the model must be built with
+        ``pp_axis='mp'``/``pp_size=mesh.shape['mp']``; batch over ``dp``.
     """
     if mode == "gspmd":
         return _build_gspmd_step(model, tx, cfg, mesh, loss_fn)
+    if mode == "pp":
+        return _build_pp_step(model, tx, cfg, mesh, loss_fn)
     t = cfg.training
     clip = float(t.grad_clip_norm)
     spike = float(t.get("allowed_gradnorm_factor", 5)) * clip
@@ -162,6 +167,113 @@ def build_train_step(model, tx, cfg, mesh,
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=0)
+
+
+def _build_pp_step(model, tx, cfg, mesh, loss_fn: Callable | None = None,
+                   axis: str = "mp"):
+    """Pipeline(+data)-parallel step (see :mod:`motion324_tpu.parallel.pp`).
+
+    The alternating stack's layer axis is sharded over ``axis`` (stages);
+    the batch over ``dp``. Loss is counted on the LAST stage only and grads
+    recombined with one ``psum`` over the stages — stack-parameter grads stay
+    stage-local. Grad accumulation is expressed by the pipeline's own
+    microbatching (``pp_microbatches``), so ``grad_accum_steps`` must be 1.
+    """
+    from motion324_tpu.parallel.pp import is_stack_path, pp_spec_for
+
+    t = cfg.training
+    if int(t.get("grad_accum_steps", 1)) != 1:
+        raise ValueError("pp mode expresses accumulation via pp_microbatches;"
+                         " set grad_accum_steps=1")
+    clip = float(t.grad_clip_norm)
+    spike = float(t.get("allowed_gradnorm_factor", 5)) * clip
+    weight = float(t.get("coord_mse_loss_weight", 1.0))
+    n_stages = mesh.shape[axis]
+
+    if loss_fn is None:
+        def loss_fn(params, batch, rng):
+            pred = model.apply(params, batch, train=True,
+                               rngs={"dropout": rng})
+            loss, metrics = coord_mse_loss(pred, batch["point_clouds"], weight)
+            # count the loss only on the last stage: every replicated compute
+            # path then contributes its gradient exactly once (see pp.py)
+            mask = (jax.lax.axis_index(axis) == n_stages - 1).astype(
+                jnp.float32)
+            return loss * mask, jax.tree.map(lambda v: v * mask, metrics)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def device_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = grad_fn(state.params, batch, rng)
+        loss = jax.lax.psum(loss, axis)
+        metrics = jax.lax.psum(metrics, axis)
+        # recombine: stage-local stack grads stay local, the rest psum over
+        # stages (each path contributed on exactly one stage)
+        grads = jax.tree_util.tree_map_with_path(
+            lambda p, g: g if is_stack_path(p) else jax.lax.psum(g, axis),
+            grads)
+        grads = jax.lax.pmean(grads, "dp")
+        loss = jax.lax.pmean(loss, "dp")
+        metrics = jax.lax.pmean(metrics, "dp")
+
+        grads = jax.tree.map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e-6, neginf=-1e-6),
+            grads)
+        # global norm: stack leaves differ per stage (psum their sumsq),
+        # non-stack leaves are identical on every stage (count once)
+        sq = jax.tree_util.tree_map_with_path(
+            lambda p, g: (jnp.sum(g.astype(jnp.float32) ** 2), is_stack_path(p)),
+            grads)
+        leaves = jax.tree.leaves(sq, is_leaf=lambda x: isinstance(x, tuple))
+        sum_stack = sum((s for s, st in leaves if st), jnp.zeros((), jnp.float32))
+        sum_shared = sum((s for s, st in leaves if not st),
+                         jnp.zeros((), jnp.float32))
+        gnorm = jnp.sqrt(sum_shared + jax.lax.psum(sum_stack, axis))
+        ok = jnp.isfinite(loss) & (gnorm <= spike)
+
+        scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+        clipped = jax.tree.map(lambda g: g * scale, grads)
+        updates, new_opt = tx.update(clipped, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            update_step=state.update_step + ok.astype(jnp.int32),
+            params=_tree_select(ok, new_params, state.params),
+            opt_state=_tree_select(ok, new_opt, state.opt_state),
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        metrics["skipped"] = 1.0 - ok.astype(jnp.float32)
+        return new_state, metrics
+
+    def state_specs(state):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, leaf: pp_spec_for(p, leaf, axis), state)
+
+    cache: dict = {}
+
+    def step_fn(state, batch, rng):
+        key = jax.tree_util.tree_structure(state)
+        if key not in cache:
+            ss = state_specs(state)
+            sharded = jax.shard_map(
+                device_step, mesh=mesh,
+                in_specs=(ss, P("dp"), P()),
+                out_specs=(ss, P()),
+                check_vma=False)
+            cache[key] = jax.jit(sharded, donate_argnums=0)
+        return cache[key](state, batch, rng)
+
+    from jax.sharding import NamedSharding
+
+    def state_shardings(state):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                            state_specs(state))
+
+    step_fn.state_shardings = state_shardings  # for device_put at init
+    return step_fn
 
 
 def _build_gspmd_step(model, tx, cfg, mesh, loss_fn: Callable | None = None):

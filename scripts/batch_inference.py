@@ -27,7 +27,7 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--output", default="./outputs/batch")
     parser.add_argument("--config", default="configs/dyscene.yaml")
-    parser.add_argument("--parallel", default=None, choices=("tp", "sp"),
+    parser.add_argument("--parallel", default=None, choices=("tp", "sp", "pp"),
                         help="multi-chip partitioning over the mp mesh axis "
                              "('sp' shards the frame axis: right for the "
                              "long-video windows this driver batches)")

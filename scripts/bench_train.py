@@ -35,6 +35,13 @@ def main(argv=None):
                         "save_attn, so omitting the flag benchmarks THAT)")
     p.add_argument("--unroll", type=int, default=0,
                    help="lax.scan unroll for the layer stacks (0 = config)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="disable rematerialisation entirely: at small "
+                        "micro-batches (accum >= 8) the full activation set "
+                        "fits in HBM and the backward replays nothing")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of one timed "
+                        "step into DIR (parse plugins/profile/*/*.json.gz)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation steps: the per-chip batch "
                         "runs as `accum` micro-batches of batch/accum "
@@ -55,7 +62,8 @@ def main(argv=None):
     cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
                                    "configs", "dyscene.yaml"))
     import dataclasses
-    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=True)
+    mcfg = ModelConfig.from_config(cfg, dtype="bfloat16",
+                                   remat=not args.no_remat)
     if args.decode_chunk != 1:
         mcfg = dataclasses.replace(mcfg, decode_frames_chunk=args.decode_chunk)
     if args.remat_policy:
@@ -108,6 +116,12 @@ def main(argv=None):
     state, m = step(state, batch_s, jax.random.PRNGKey(1))
     float(m["loss"])
 
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            state, m = step(state, batch_s, jax.random.PRNGKey(1))
+            float(m["loss"])
+        print(f"trace captured in {args.trace}", flush=True)
+
     times = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
@@ -143,7 +157,9 @@ def main(argv=None):
     fwd_enc = 2 * 2 * b * s * C * C  # shape-encoder projections (approx)
     fwd = fwd_alt + fwd_dino + fwd_dec + fwd_enc
     model_flops = 3 * (fwd - fwd_dino) + fwd_dino  # frozen encoder: fwd only
-    hw_flops = model_flops + (fwd_alt + fwd_dec)   # + remat recompute
+    # remat replays (at most) the stack+decoder forward; without remat the
+    # hardware runs exactly the model flops
+    hw_flops = model_flops + (0 if args.no_remat else fwd_alt + fwd_dec)
     peak = 197e12 * n_dev
     print(f"MFU: {model_flops / med / peak * 100:.1f}% model "
           f"({model_flops / 1e12:.0f} TFLOP/step; "

@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--config", default="configs/dyscene.yaml")
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--no-smooth", action="store_true")
-    parser.add_argument("--parallel", default=None, choices=("tp", "sp"),
+    parser.add_argument("--parallel", default=None, choices=("tp", "sp", "pp"),
                         help="multi-chip partitioning over the mp mesh axis: "
                              "'tp' tensor parallel, 'sp' sequence parallel "
                              "over frames (long windows)")
