@@ -371,6 +371,24 @@ class MotionPipeline:
             inputs["ref_shape_rgbs"])
         chunked = self._chunked_points(inputs)
 
+        if self._window_fused is not None:
+            # software-pipelined windows: dispatch window k+1 (host slice +
+            # async upload + async device program) before window k's blocking
+            # readback — the tunnel transfer hides under device compute
+            p, nn_, c, n = chunked
+
+            def dispatch(window):
+                return self._window_fused(self.params, window[None],
+                                          mesh_feat, p, nn_, c, segment)
+
+            def fin(out):
+                out = np.asarray(out)  # (chunks, 1, T, ck, 3) readback
+                out = np.transpose(out, (1, 2, 0, 3, 4))
+                return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
+
+            return sliding_window_predict(dispatch, video, self.window,
+                                          inputs["ref_pcd"], finalize=fin)
+
         def forward(window):
             return self.predict_window(mesh_feat, window[None], inputs,
                                        segment=segment, _chunked=chunked)
@@ -400,6 +418,23 @@ class MotionPipeline:
             inputs["ref_shape_rgbs"])
         chunked = self._chunked_points(inputs)
         vt = np.swapaxes(videos, 0, 1)
+
+        if self._window_fused is not None:
+            # same software pipelining as predict(): one window in flight
+            p, nn_, c, n = chunked
+
+            def dispatch(window):
+                wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))
+                return self._window_fused(self.params, wb, mesh_feat,
+                                          p, nn_, c, segment)
+
+            def fin(out):
+                out = np.asarray(out)  # (chunks, B, T, ck, 3)
+                out = np.transpose(out, (1, 2, 0, 3, 4))
+                return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
+
+            return sliding_window_predict(dispatch, vt, self.window,
+                                          inputs["ref_pcd"], finalize=fin)
 
         def forward(window):
             wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))

@@ -30,31 +30,48 @@ def window_starts(total_t: int, chunk: int) -> list[int]:
 
 def sliding_window_predict(forward_fn: Callable[[np.ndarray], np.ndarray],
                            video: np.ndarray, chunk: int,
-                           ref_pcd: np.ndarray) -> np.ndarray:
+                           ref_pcd: np.ndarray,
+                           finalize: Callable | None = None) -> np.ndarray:
     """Run ``forward_fn`` over sliding windows and stitch trajectories.
 
     Args:
-      forward_fn: maps ``(T_w, H, W, 3)`` window frames -> ``(1, T_w, N, 3)``.
+      forward_fn: maps ``(T_w, H, W, 3)`` window frames -> ``(1, T_w, N, 3)``
+        (or, with ``finalize``, any deferred handle — e.g. an unfinalised
+        device array).
       video: ``(T, H, W, 3)`` full video.
       chunk: window length (``training.frames``; 256 in the shipped scripts).
       ref_pcd: ``(1, N, 3)`` rest-pose points (frame-0 overwrite).
+      finalize: optional ``handle -> (1, T_w, N, 3)`` resolving a deferred
+        ``forward_fn`` result. When given, the loop is SOFTWARE-PIPELINED
+        with one window in flight: window ``k+1`` is dispatched (host slice +
+        async upload + async device dispatch) BEFORE window ``k``'s readback,
+        overlapping the tunnel/host transfer with device compute. JAX
+        dispatch is async, so ``forward_fn`` should avoid forcing the value;
+        ``finalize`` (the blocking readback) runs one window behind.
 
     Returns:
       ``(1, T, N, 3)`` stitched trajectories.
     """
+    if finalize is None:
+        finalize = np.asarray
     total_t = video.shape[0]
     if total_t <= chunk:
-        return np.asarray(forward_fn(video))
+        return np.asarray(finalize(forward_fn(video)))
 
     starts = window_starts(total_t, chunk)
     outs = []
+    pending = None
     for i, s in enumerate(starts):
         e = s + chunk
         if i == 0:
             window = video[0:chunk]
         else:
             window = np.concatenate([video[0:1], video[s + 1:e]], axis=0)
-        outs.append(np.asarray(forward_fn(window)))
+        handle = forward_fn(window)  # dispatch k+1 before k's readback
+        if pending is not None:
+            outs.append(np.asarray(finalize(pending)))
+        pending = handle
+    outs.append(np.asarray(finalize(pending)))
 
     n_out = len(outs)
     if n_out < 2:
