@@ -157,7 +157,7 @@ class MotionPipeline:
 
     def __init__(self, cfg: ModelConfig, params, window: int = 12,
                  decode_chunk: int = DECODE_CHUNK, mesh=None,
-                 parallel: str = "tp"):
+                 parallel: str = "tp", u16_readback: bool = True):
         import dataclasses
 
         self.cfg = cfg
@@ -298,9 +298,9 @@ class MotionPipeline:
             # a tunnel round trip (~30 ms, with multi-second tail latency),
             # so the per-chunk decode loop dominated e2e wall time at 16384
             # points / 4096-chunks even though device time is ~0.16 s/clip.
-            @functools.partial(jax.jit, static_argnums=(6,))
+            @functools.partial(jax.jit, static_argnums=(6, 7))
             def _window_fused(params, video, mesh_feat, p, n, c,
-                              segment: bool = False):
+                              segment: bool = False, n_valid: int = 0):
                 tokens = _encode_video_math(model, params, video, mesh_feat,
                                             segment)
 
@@ -310,7 +310,35 @@ class MotionPipeline:
                     return None, out
 
                 _, outs = jax.lax.scan(body, None, (p, n, c))
-                return outs  # (chunks, 1, T, ck, 3)
+                # outs: (chunks, b, T, ck, 3)
+                if not u16_readback:
+                    return outs
+                # quantized readback: trajectories ship as uint16 fixed-point
+                # (per-clip, per-axis range), HALVING the device->host tunnel
+                # transfer (~25 MB/s) vs f32; max error = range/65535 (~3e-5
+                # for unit-cube meshes), far below model noise. Ranges reduce
+                # over (chunks, T, ck) but NOT the clip axis, so a clip's
+                # quantization grid is identical whether it runs alone or
+                # stacked in a batch (min/max are exactly associative) — the
+                # batched path stays bit-equal to per-clip calls. Decoded
+                # PADDING points (chunk round-up) are masked out of the range
+                # so they cannot widen the grid; their quantized values are
+                # garbage and sliced away on host.
+                of = outs.astype(jnp.float32)
+                chunks, _, _, ck, _ = of.shape
+                if n_valid and n_valid < chunks * ck:
+                    idx = (jnp.arange(chunks * ck).reshape(chunks, 1, 1, ck, 1)
+                           < n_valid)
+                    lo = jnp.where(idx, of, jnp.inf).min(axis=(0, 2, 3))
+                    hi = jnp.where(idx, of, -jnp.inf).max(axis=(0, 2, 3))
+                else:
+                    lo = of.min(axis=(0, 2, 3))  # (b, 3)
+                    hi = of.max(axis=(0, 2, 3))
+                scale = jnp.maximum((hi - lo) / 65535.0, 1e-12)
+                bc = lambda x: x[None, :, None, None, :]
+                q = jnp.round((of - bc(lo)) / bc(scale))
+                q = jnp.clip(q, 0, 65535).astype(jnp.uint16)
+                return q, lo, scale
 
             self._window_fused = _window_fused
 
@@ -339,6 +367,22 @@ class MotionPipeline:
         return (prep(inputs["ref_pcd"]), prep(inputs["ref_normal"]),
                 prep(inputs["ref_rgb"]), n)
 
+    @staticmethod
+    def _resolve_window(out, n):
+        """Blocking readback of a fused-window result -> (b, T, N, 3) f32.
+
+        ``out`` is either the raw (chunks, b, T, ck, 3) array or the
+        quantized triple ``(q_u16, lo, scale)`` — dequantized on host after
+        the (halved) tunnel transfer."""
+        if isinstance(out, tuple):
+            q, lo, scale = (np.asarray(x) for x in out)
+            bc = lambda x: x[None, :, None, None, :]
+            out = q.astype(np.float32) * bc(scale) + bc(lo)
+        else:
+            out = np.asarray(out)
+        out = np.transpose(out, (1, 2, 0, 3, 4))
+        return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
+
     def predict_window(self, mesh_feat, window_video, inputs,
                        segment: bool = False, _chunked=None):
         """One window: video encode + chunked point decode -> (1, T, N, 3)."""
@@ -346,11 +390,8 @@ class MotionPipeline:
                        else self._chunked_points(inputs))
         if self._window_fused is not None:
             out = self._window_fused(self.params, window_video, mesh_feat,
-                                     p, nn, c, segment)
-            # (chunks, 1, T, ck, 3) -> (1, T, chunks*ck, 3), one readback
-            out = np.asarray(out)
-            out = np.transpose(out, (1, 2, 0, 3, 4))
-            return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
+                                     p, nn, c, segment, n)
+            return self._resolve_window(out, n)
         tokens = self._encode_video(self.params, window_video, mesh_feat,
                                     segment)
         parts = [np.asarray(self._decode(self.params, tokens,
@@ -379,15 +420,11 @@ class MotionPipeline:
 
             def dispatch(window):
                 return self._window_fused(self.params, window[None],
-                                          mesh_feat, p, nn_, c, segment)
+                                          mesh_feat, p, nn_, c, segment, n)
 
-            def fin(out):
-                out = np.asarray(out)  # (chunks, 1, T, ck, 3) readback
-                out = np.transpose(out, (1, 2, 0, 3, 4))
-                return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
-
-            return sliding_window_predict(dispatch, video, self.window,
-                                          inputs["ref_pcd"], finalize=fin)
+            return sliding_window_predict(
+                dispatch, video, self.window, inputs["ref_pcd"],
+                finalize=lambda out: self._resolve_window(out, n))
 
         def forward(window):
             return self.predict_window(mesh_feat, window[None], inputs,
@@ -426,15 +463,11 @@ class MotionPipeline:
             def dispatch(window):
                 wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))
                 return self._window_fused(self.params, wb, mesh_feat,
-                                          p, nn_, c, segment)
+                                          p, nn_, c, segment, n)
 
-            def fin(out):
-                out = np.asarray(out)  # (chunks, B, T, ck, 3)
-                out = np.transpose(out, (1, 2, 0, 3, 4))
-                return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
-
-            return sliding_window_predict(dispatch, vt, self.window,
-                                          inputs["ref_pcd"], finalize=fin)
+            return sliding_window_predict(
+                dispatch, vt, self.window, inputs["ref_pcd"],
+                finalize=lambda out: self._resolve_window(out, n))
 
         def forward(window):
             wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))

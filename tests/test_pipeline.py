@@ -148,8 +148,41 @@ def test_predict_batch_matches_per_clip(pipeline):
 
     want_a = pipeline.predict(inp_a, vids[0])
     want_b = pipeline.predict(inp_b, vids[1])
-    np.testing.assert_allclose(got[0], want_a[0], atol=1e-5)
-    np.testing.assert_allclose(got[1], want_b[0], atol=1e-5)
+    # batch-2 and batch-1 XLA programs differ by float-reassociation noise
+    # (~1e-5 here), and the u16 readback quantizes each run onto a grid whose
+    # lo/hi come from those slightly different values — allow one quantum
+    # (range/65535) on top of the float noise
+    np.testing.assert_allclose(got[0], want_a[0], atol=3e-5)
+    np.testing.assert_allclose(got[1], want_b[0], atol=3e-5)
+
+
+def test_u16_readback_matches_f32(pipeline):
+    """The quantized (uint16 fixed-point) readback must agree with the f32
+    readback within one quantization quantum, and actually ship u16."""
+    import jax.numpy as jnp
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    inputs, _, _ = prepare_mesh_inputs(mesh, num_shape_samples=64)
+    video = np.random.RandomState(5).rand(3, 28, 28, 3).astype(np.float32)
+
+    f32_pipe = MotionPipeline(SMALL, pipeline.params, window=3,
+                              decode_chunk=16, u16_readback=False)
+    want = f32_pipe.predict(inputs, video)
+    got = pipeline.predict(inputs, video)
+
+    # the device program really returns a quantized triple
+    chunked = pipeline._chunked_points(inputs)
+    out = pipeline._window_fused(pipeline.params, jnp.asarray(video)[None],
+                                 pipeline._encode_shape(
+                                     pipeline.params,
+                                     inputs["ref_shape_pcd"],
+                                     inputs["ref_shape_normals"],
+                                     inputs["ref_shape_rgbs"]),
+                                 *chunked[:3], False)
+    assert isinstance(out, tuple) and out[0].dtype == jnp.uint16
+
+    span = want.max(axis=(0, 1, 2)) - want.min(axis=(0, 1, 2))
+    quantum = span / 65535.0
+    assert np.abs(got - want).max() <= quantum.max() * 0.51 + 1e-7
 
 
 def test_run_batch_writes_outputs(pipeline, tmp_path):
