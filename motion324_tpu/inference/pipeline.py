@@ -497,18 +497,32 @@ class MotionPipeline:
         input size on host before upload (see :func:`resize_frames`);
         disable to reproduce the in-graph resize exactly.
         """
+        from concurrent.futures import ThreadPoolExecutor
         from motion324_tpu.utils.profiling import phase_timer
         os.makedirs(output_dir, exist_ok=True)
         t0 = time.perf_counter()
-        with phase_timer("mesh load+sample"):
-            mesh = load_mesh(mesh_path)
-            inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
-        with phase_timer("video decode"):
+
+        def _decode_video():
             # keep decoded bytes uint8 when they will be uploaded as uint8
             # anyway (host U2Net segmentation is the one float consumer)
             want_u8 = uint8_upload and segmentation_params is None
-            video = load_video(video_path, max_frames,
-                               dtype=np.uint8 if want_u8 else np.float32)
+            v = load_video(video_path, max_frames,
+                           dtype=np.uint8 if want_u8 else np.float32)
+            if host_resize and not (use_segmentation
+                                    and segmentation_params is not None):
+                v = resize_frames(v, self.cfg.image_size)
+            return v
+
+        # video decode+resize overlaps mesh load+sample on a worker thread
+        # (cv2/PIL release the GIL; each side is ~0.1 s of host time per clip)
+        with ThreadPoolExecutor(1) as pool:
+            video_fut = pool.submit(_decode_video)
+            with phase_timer("mesh load+sample"):
+                mesh = load_mesh(mesh_path)
+                inputs, _, norm_mesh = prepare_mesh_inputs(
+                    mesh, num_shape_samples)
+            with phase_timer("video decode (overlapped)"):
+                video = video_fut.result()
         seg_in_graph = False
         if use_segmentation and segmentation_params is not None:
             # converted U2Net weights: device mask pass, applied on host
@@ -522,7 +536,10 @@ class MotionPipeline:
         log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
             f"{' (segmented)' if use_segmentation else ''}")
 
-        if host_resize:
+        if host_resize and video.shape[1:3] != (self.cfg.image_size,
+                                                self.cfg.image_size):
+            # only reached on the U2Net path (the fallback path resizes
+            # inside the decode thread, before segmentation-free upload)
             with phase_timer("host resize"):
                 video = resize_frames(video, self.cfg.image_size)
         with phase_timer("model predict"):

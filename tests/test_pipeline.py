@@ -185,6 +185,26 @@ def test_u16_readback_matches_f32(pipeline):
     assert np.abs(got - want).max() <= quantum.max() * 0.51 + 1e-7
 
 
+def test_run_product_path(pipeline, tmp_path):
+    """MotionPipeline.run: mesh + mp4 -> animated GLB (threaded video decode
+    overlapping mesh load, in-graph fallback segmentation, u16 readback)."""
+    import cv2
+    glb_path = str(tmp_path / "cube.glb")
+    export_glb(glb_path, CUBE_V, CUBE_F)
+    vp = str(tmp_path / "clip.mp4")
+    r = np.random.RandomState(6)
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 12, (32, 32))
+    for _ in range(4):
+        w.write((r.rand(32, 32, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out = pipeline.run(glb_path, vp, str(tmp_path / "out"),
+                       num_shape_samples=64)
+    assert os.path.getsize(out) > 0
+    data = load_glb(out)
+    assert data["vertices"].shape == (8, 3)
+
+
 def test_run_batch_writes_outputs(pipeline, tmp_path):
     import cv2
     glb_path = str(tmp_path / "cube.glb")
