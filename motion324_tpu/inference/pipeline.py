@@ -578,16 +578,23 @@ class MotionPipeline:
         one compiled program; the window/sample shapes are identical across
         all groups already, so only the leading batch dim recompiles).
         """
+        from concurrent.futures import ThreadPoolExecutor
         os.makedirs(output_dir, exist_ok=True)
-        loaded = []
-        for mesh_path, video_path in jobs:
+
+        def _load(job):
+            mesh_path, video_path = job
             mesh = load_mesh(mesh_path)
             inputs, _, norm_mesh = prepare_mesh_inputs(mesh, num_shape_samples)
             video = load_video(video_path, max_frames,
                                dtype=np.uint8 if uint8_upload else np.float32)
             video = resize_frames(video, self.cfg.image_size)
             stem = os.path.splitext(os.path.basename(video_path))[0]
-            loaded.append((inputs, norm_mesh, video, stem))
+            return inputs, norm_mesh, video, stem
+
+        # host loading (GLB/texture decode, surface sampling, mp4 decode) is
+        # per-job independent and GIL-light (cv2/PIL/numpy) — load in parallel
+        with ThreadPoolExecutor(min(8, max(1, len(jobs)))) as pool:
+            loaded = list(pool.map(_load, jobs))
 
         groups: dict = {}
         for idx, (inputs, _, video, _) in enumerate(loaded):
