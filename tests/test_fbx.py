@@ -119,3 +119,27 @@ def test_fbx_external_parser_animated(tmp_path):
         assert values[peak] == 100.0
         assert abs(times_sec[peak] - t / 12.0) < 1e-6
         assert all(v == 0.0 for k, v in enumerate(values) if k != peak)
+
+
+def test_convert_fbx_cli(tmp_path):
+    """scripts/convert_fbx.py: static GLB and animated GLB -> valid FBX
+    (verified through the writer-independent strict parser)."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import convert_fbx
+    from fbx_oracle import scene
+    from motion324_tpu.io.glb import export_animated_glb, export_glb
+
+    static_glb = str(tmp_path / "static.glb")
+    export_glb(static_glb, V, F, uv=UV)
+    out = convert_fbx.convert(static_glb, str(tmp_path / "static.fbx"))
+    doc = scene(out)
+    np.testing.assert_allclose(doc["vertices"], V, atol=1e-6)
+
+    rng = np.random.RandomState(1)
+    frames = (V[None] + rng.randn(4, len(V), 3) * 0.1).astype(np.float32)
+    anim_glb = str(tmp_path / "anim.glb")
+    export_animated_glb(anim_glb, V, F, frames, fps=12)
+    out = convert_fbx.convert(anim_glb, str(tmp_path / "anim.fbx"), fps=12)
+    doc = scene(out)
+    assert len(doc["shapes"]) == 4
