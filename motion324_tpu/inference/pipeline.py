@@ -157,7 +157,8 @@ class MotionPipeline:
 
     def __init__(self, cfg: ModelConfig, params, window: int = 12,
                  decode_chunk: int = DECODE_CHUNK, mesh=None,
-                 parallel: str = "tp", u16_readback: bool = True):
+                 parallel: str = "tp", u16_readback: bool = True,
+                 yuv420_upload: bool = False):
         import dataclasses
 
         self.cfg = cfg
@@ -165,6 +166,9 @@ class MotionPipeline:
         self.window = window
         self.decode_chunk = decode_chunk
         self.mesh = mesh
+        # I420 wire format is single-chip only (the SP/PP shard_map programs
+        # take a plain video array); no-op for float inputs
+        self._yuv = bool(yuv420_upload) and mesh is None
 
         sp_n = 1
         pp_n = 1
@@ -197,11 +201,15 @@ class MotionPipeline:
 
         def _encode_video_math(model, params, video, mesh_feat, segment):
             # video ships as uint8 (4x less tunnel/host->HBM traffic than
-            # f32 — the transfer dominated e2e wall time) and normalises
-            # in-graph; the border-statistics segmentation fallback also
-            # runs in-graph (its host numpy version cost ~0.3 s/clip)
+            # f32 — the transfer dominated e2e wall time) or as I420 planes
+            # (6x less; see inference/yuv.py) and normalises in-graph; the
+            # border-statistics segmentation fallback also runs in-graph
+            # (its host numpy version cost ~0.3 s/clip)
             x = video
-            if x.dtype == jnp.uint8:
+            if isinstance(x, dict):
+                from motion324_tpu.inference.yuv import yuv420_to_rgb
+                x = yuv420_to_rgb(x)
+            elif x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
             if segment:
                 x = x * _border_segment(x)[..., None]
@@ -367,6 +375,15 @@ class MotionPipeline:
         return (prep(inputs["ref_pcd"]), prep(inputs["ref_normal"]),
                 prep(inputs["ref_rgb"]), n)
 
+    def _wire(self, video_batched):
+        """Apply the wire format to a (b, T, H, W, 3) window before upload:
+        uint8 RGB -> I420 planes when ``yuv420_upload`` is on (6x smaller
+        than f32, 2x smaller than u8 RGB; see :mod:`.yuv`)."""
+        if self._yuv and getattr(video_batched, "dtype", None) == np.uint8:
+            from motion324_tpu.inference.yuv import rgb_to_yuv420
+            return rgb_to_yuv420(video_batched)
+        return video_batched
+
     @staticmethod
     def _resolve_window(out, n):
         """Blocking readback of a fused-window result -> (b, T, N, 3) f32.
@@ -388,6 +405,7 @@ class MotionPipeline:
         """One window: video encode + chunked point decode -> (1, T, N, 3)."""
         p, nn, c, n = (_chunked if _chunked is not None
                        else self._chunked_points(inputs))
+        window_video = self._wire(window_video)
         if self._window_fused is not None:
             out = self._window_fused(self.params, window_video, mesh_feat,
                                      p, nn, c, segment, n)
@@ -419,7 +437,8 @@ class MotionPipeline:
             p, nn_, c, n = chunked
 
             def dispatch(window):
-                return self._window_fused(self.params, window[None],
+                return self._window_fused(self.params,
+                                          self._wire(window[None]),
                                           mesh_feat, p, nn_, c, segment, n)
 
             return sliding_window_predict(
@@ -462,8 +481,8 @@ class MotionPipeline:
 
             def dispatch(window):
                 wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))
-                return self._window_fused(self.params, wb, mesh_feat,
-                                          p, nn_, c, segment, n)
+                return self._window_fused(self.params, self._wire(wb),
+                                          mesh_feat, p, nn_, c, segment, n)
 
             return sliding_window_predict(
                 dispatch, vt, self.window, inputs["ref_pcd"],

@@ -31,6 +31,8 @@ def main(argv=None):
                         help="multi-chip partitioning over the mp mesh axis "
                              "('sp' shards the frame axis: right for the "
                              "long-video windows this driver batches)")
+    parser.add_argument("--yuv-upload", action="store_true",
+                        help="ship videos as I420 planes (2x smaller upload)")
     parser.add_argument("--batch", type=int, default=1,
                         help="clips per device program: jobs are grouped by "
                              "decoded video shape and predicted at batch B "
@@ -77,7 +79,8 @@ def main(argv=None):
         from motion324_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=1, mp=len(jax.devices()))
     pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
-                              mesh=mesh, parallel=args.parallel or "tp")
+                              mesh=mesh, parallel=args.parallel or "tp",
+                              yuv420_upload=args.yuv_upload)
 
     with open(args.list_path) as f:
         jobs = [line.split() for line in f if line.strip()

@@ -33,6 +33,10 @@ def main(argv=None):
                         help="multi-chip partitioning over the mp mesh axis: "
                              "'tp' tensor parallel, 'sp' sequence parallel "
                              "over frames (long windows)")
+    parser.add_argument("--yuv-upload", action="store_true",
+                        help="ship video as I420 planes (2x smaller upload; "
+                             "mean wire error <1.5/255 on mp4 content, see "
+                             "motion324_tpu/inference/yuv.py)")
     parser.add_argument("--no-segmentation", action="store_true",
                         help="skip foreground masking (reference default is "
                              "use_segmentation=True, 4D_from_existing.sh:62)")
@@ -88,7 +92,8 @@ def main(argv=None):
         from motion324_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=1, mp=len(jax.devices()))
     pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
-                              mesh=mesh, parallel=args.parallel or "tp")
+                              mesh=mesh, parallel=args.parallel or "tp",
+                              yuv420_upload=args.yuv_upload)
     out = pipeline.run(args.mesh, args.video, args.output,
                        num_shape_samples=int(cfg.training.get(
                            "num_shape_samples", 16384)),
