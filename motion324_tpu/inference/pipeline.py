@@ -166,9 +166,13 @@ class MotionPipeline:
         self.window = window
         self.decode_chunk = decode_chunk
         self.mesh = mesh
-        # I420 wire format is single-chip only (the SP/PP shard_map programs
-        # take a plain video array); no-op for float inputs
-        self._yuv = bool(yuv420_upload) and mesh is None
+        # I420 wire format works on the fused single-chip and TP (GSPMD)
+        # paths; the SP/PP shard_map programs take a plain video array, so
+        # it is dropped there (with a log) rather than crashing in in_specs
+        self._yuv = bool(yuv420_upload) and (mesh is None or parallel == "tp")
+        if yuv420_upload and not self._yuv:
+            log(f"yuv420_upload ignored under parallel='{parallel}' "
+                "(shard_map video programs take plain RGB arrays)")
 
         sp_n = 1
         pp_n = 1
@@ -389,10 +393,10 @@ class MotionPipeline:
         """Blocking readback of a fused-window result -> (b, T, N, 3) f32.
 
         ``out`` is either the raw (chunks, b, T, ck, 3) array or the
-        quantized triple ``(q_u16, lo, scale)`` — dequantized on host after
-        the (halved) tunnel transfer."""
+        quantized triple ``(q_u16, lo, scale)`` — fetched in ONE device_get
+        (one tunnel round trip, not three) and dequantized on host."""
         if isinstance(out, tuple):
-            q, lo, scale = (np.asarray(x) for x in out)
+            q, lo, scale = jax.device_get(out)
             bc = lambda x: x[None, :, None, None, :]
             out = q.astype(np.float32) * bc(scale) + bc(lo)
         else:
@@ -400,18 +404,26 @@ class MotionPipeline:
         out = np.transpose(out, (1, 2, 0, 3, 4))
         return out.reshape(out.shape[0], out.shape[1], -1, 3)[:, :, :n]
 
+    def _dispatch_window(self, window_video, mesh_feat, chunked,
+                         segment: bool):
+        """Async dispatch of one fused window (wire format + device program);
+        resolve the returned handle with :meth:`_resolve_window`."""
+        p, nn, c, n = chunked
+        return self._window_fused(self.params, self._wire(window_video),
+                                  mesh_feat, p, nn, c, segment, n)
+
     def predict_window(self, mesh_feat, window_video, inputs,
                        segment: bool = False, _chunked=None):
         """One window: video encode + chunked point decode -> (1, T, N, 3)."""
-        p, nn, c, n = (_chunked if _chunked is not None
-                       else self._chunked_points(inputs))
-        window_video = self._wire(window_video)
+        chunked = (_chunked if _chunked is not None
+                   else self._chunked_points(inputs))
+        p, nn, c, n = chunked
         if self._window_fused is not None:
-            out = self._window_fused(self.params, window_video, mesh_feat,
-                                     p, nn, c, segment, n)
+            out = self._dispatch_window(window_video, mesh_feat, chunked,
+                                        segment)
             return self._resolve_window(out, n)
-        tokens = self._encode_video(self.params, window_video, mesh_feat,
-                                    segment)
+        tokens = self._encode_video(self.params, self._wire(window_video),
+                                    mesh_feat, segment)
         parts = [np.asarray(self._decode(self.params, tokens,
                                          p[i], nn[i], c[i]))
                  for i in range(p.shape[0])]
@@ -434,15 +446,11 @@ class MotionPipeline:
             # software-pipelined windows: dispatch window k+1 (host slice +
             # async upload + async device program) before window k's blocking
             # readback — the tunnel transfer hides under device compute
-            p, nn_, c, n = chunked
-
-            def dispatch(window):
-                return self._window_fused(self.params,
-                                          self._wire(window[None]),
-                                          mesh_feat, p, nn_, c, segment, n)
-
+            n = chunked[3]
             return sliding_window_predict(
-                dispatch, video, self.window, inputs["ref_pcd"],
+                lambda w: self._dispatch_window(w[None], mesh_feat, chunked,
+                                                segment),
+                video, self.window, inputs["ref_pcd"],
                 finalize=lambda out: self._resolve_window(out, n))
 
         def forward(window):
@@ -477,12 +485,11 @@ class MotionPipeline:
 
         if self._window_fused is not None:
             # same software pipelining as predict(): one window in flight
-            p, nn_, c, n = chunked
+            n = chunked[3]
 
             def dispatch(window):
                 wb = np.ascontiguousarray(np.swapaxes(window, 0, 1))
-                return self._window_fused(self.params, self._wire(wb),
-                                          mesh_feat, p, nn_, c, segment, n)
+                return self._dispatch_window(wb, mesh_feat, chunked, segment)
 
             return sliding_window_predict(
                 dispatch, vt, self.window, inputs["ref_pcd"],
@@ -511,8 +518,11 @@ class MotionPipeline:
         ``segmentation_params`` selects converted U2Net weights, else the
         border-statistics fallback segments. ``uint8_upload`` quantizes the
         video for a 4x smaller host->device transfer (<=1/510 per-pixel
-        error); disable it for exact-parity runs against the reference's
-        float pipeline. ``host_resize`` downsamples frames to the model's
+        error). For EXACT-parity runs against the reference's float
+        pipeline, disable this AND construct the pipeline with
+        ``u16_readback=False`` (the trajectory readback is otherwise
+        quantized to uint16, ~3e-5 error) — the CLI's ``--exact`` flag sets
+        both. ``host_resize`` downsamples frames to the model's
         input size on host before upload (see :func:`resize_frames`);
         disable to reproduce the in-graph resize exactly.
         """

@@ -41,13 +41,16 @@ def rgb_to_yuv420(video: np.ndarray) -> dict:
     *lead, h, w, _ = video.shape
     assert h % 2 == 0 and w % 2 == 0, "yuv420 needs even frame dims"
     f = video.astype(np.float32)
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    y = _KR * r + _KG * g + _KB * b
-    u = (b - y) / (2.0 * (1.0 - _KB)) + 128.0
-    v = (r - y) / (2.0 * (1.0 - _KR)) + 128.0
+    y = _KR * f[..., 0] + _KG * f[..., 1] + _KB * f[..., 2]
+    # chroma is linear in RGB, so the 2x2 box mean commutes with the
+    # transform: compute U/V from quarter-size averaged planes (4x less math
+    # on the per-window upload path)
     sub = lambda p: p.reshape(*lead, h // 2, 2, w // 2, 2).mean(axis=(-3, -1))
+    ys, rs, bs = sub(y), sub(f[..., 0]), sub(f[..., 2])
+    u = (bs - ys) / (2.0 * (1.0 - _KB)) + 128.0
+    v = (rs - ys) / (2.0 * (1.0 - _KR)) + 128.0
     to_u8 = lambda p: np.clip(np.rint(p), 0, 255).astype(np.uint8)
-    return {"y": to_u8(y), "u": to_u8(sub(u)), "v": to_u8(sub(v))}
+    return {"y": to_u8(y), "u": to_u8(u), "v": to_u8(v)}
 
 
 def yuv420_to_rgb(planes: dict) -> jnp.ndarray:

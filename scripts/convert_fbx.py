@@ -19,7 +19,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def convert(in_path: str, out_path: str, fps: float = 12.0) -> str:
+def convert(in_path: str, out_path: str,
+            fps: float | None = None) -> str:
     from motion324_tpu.io.fbx import export_animated_fbx
     from motion324_tpu.io.glb import load_animated_glb
     from motion324_tpu.io.mesh import load_mesh
@@ -28,13 +29,21 @@ def convert(in_path: str, out_path: str, fps: float = 12.0) -> str:
     uv = None
     if in_path.lower().endswith((".glb", ".gltf")):
         try:
-            verts, faces, frames, _times = load_animated_glb(in_path)
+            verts, faces, frames, times = load_animated_glb(in_path)
+            if fps is None:
+                import numpy as np
+                dt = np.diff(np.asarray(times))
+                fps = float(1.0 / np.median(dt)) if len(dt) else 12.0
+            # the animated loader carries positions only; pull UVs from the
+            # same primitive so textured assets keep their UV layer
+            uv = load_mesh(in_path).uv
         except (KeyError, ValueError, StopIteration):
             mesh = load_mesh(in_path)  # static / non-animated GLB
             verts, faces, uv = mesh.vertices, mesh.faces, mesh.uv
     else:
         mesh = load_mesh(in_path)
         verts, faces, uv = mesh.vertices, mesh.faces, mesh.uv
+    fps = 12.0 if fps is None else fps
 
     export_animated_fbx(out_path, verts, faces, frames=frames, fps=fps,
                         uv=uv, name=os.path.splitext(
@@ -50,8 +59,10 @@ def main(argv=None):
     ap.add_argument("input", help=".obj / .glb / .gltf input")
     ap.add_argument("-o", "--output", default=None,
                     help="output .fbx path (default: input with .fbx)")
-    ap.add_argument("--fps", type=float, default=12.0,
-                    help="animation frame rate for blend-shape curves")
+    ap.add_argument("--fps", type=float, default=None,
+                    help="animation frame rate for blend-shape curves "
+                         "(default: derived from the GLB keyframe times, "
+                         "else 12)")
     args = ap.parse_args(argv)
     out = args.output or os.path.splitext(args.input)[0] + ".fbx"
     convert(args.input, out, fps=args.fps)

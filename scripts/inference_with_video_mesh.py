@@ -33,6 +33,10 @@ def main(argv=None):
                         help="multi-chip partitioning over the mp mesh axis: "
                              "'tp' tensor parallel, 'sp' sequence parallel "
                              "over frames (long windows)")
+    parser.add_argument("--exact", action="store_true",
+                        help="bit-exact float pipeline: f32 video upload and "
+                             "f32 trajectory readback (no u8/u16 wire "
+                             "quantization) for parity comparisons")
     parser.add_argument("--yuv-upload", action="store_true",
                         help="ship video as I420 planes (2x smaller upload; "
                              "mean wire error <1.5/255 on mp4 content, see "
@@ -93,7 +97,8 @@ def main(argv=None):
         mesh = make_mesh(dp=1, mp=len(jax.devices()))
     pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
                               mesh=mesh, parallel=args.parallel or "tp",
-                              yuv420_upload=args.yuv_upload)
+                              u16_readback=not args.exact,
+                              yuv420_upload=args.yuv_upload and not args.exact)
     out = pipeline.run(args.mesh, args.video, args.output,
                        num_shape_samples=int(cfg.training.get(
                            "num_shape_samples", 16384)),
