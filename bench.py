@@ -110,6 +110,20 @@ def main():
     except Exception as e:
         log(f"long-video bench skipped: {e}")
 
+    # ---- secondary: I420 wire-format A/B (opt-in product flag) -------------
+    try:
+        yuv_pipe = MotionPipeline(cfg, pipeline.params, window=T,
+                                  yuv420_upload=True)
+        yuv_run = lambda: yuv_pipe.run(mesh_path, video_path, out_dir,
+                                       num_shape_samples=N_SHAPE,
+                                       max_frames=T)
+        yuv_run()  # compile the I420-input program
+        yt = [_timed(yuv_run) for _ in range(5)]
+        log(f"--yuv-upload A/B: p50 {float(np.percentile(yt, 50)):.3f}s over "
+            f"{len(yt)} runs (vs {e2e:.3f}s RGB wire; upload 2.4 vs 4.8 MB)")
+    except Exception as e:
+        log(f"yuv A/B skipped: {e}")
+
     # ---- secondary: device-only model seconds + MFU ------------------------
     try:
         model_sec, mfu = _model_only(pipeline, jax, jnp)
