@@ -123,16 +123,19 @@ class Trainer:
         logger = MetricsLogger(self.ckpt_dir, config=self.cfg.to_dict())
 
         step = int(state.step)
-        batch = first
+        batch = self._put(first)
         last_t = time.perf_counter()
         while step < stop:
-            state, metrics = self.step_fn(state, self._put(batch), self.rng)
+            state, metrics = self.step_fn(state, batch, self.rng)
             step += 1
             try:
-                batch = next(it)  # overlap host fetch with device compute
+                nxt = next(it)  # overlap host fetch with device compute
             except StopIteration:
                 it = iter(self.data_iter)
-                batch = next(it)
+                nxt = next(it)
+            # issue the H2D transfer BEFORE the metrics sync below blocks on
+            # the running step: batch k+1 DMAs while step k computes
+            batch = self._put(nxt)
             if step % t.get("log_every", 1) == 0:
                 now = time.perf_counter()
                 metrics = {k: float(v) for k, v in metrics.items()}
