@@ -56,9 +56,16 @@ def load_video(path: str, max_frames: int | None = None,
     if max_frames:
         frames = frames[:max_frames]
     frames = frames[..., :3]
+    # normalise whatever the image codec returned (u8/u16 ints, or floats
+    # in [0,1]) to [0,1] f32 — a bare astype(u8) on u16 sources would
+    # truncate modulo 256
+    if np.issubdtype(frames.dtype, np.integer):
+        unit = frames.astype(np.float32) / np.iinfo(frames.dtype).max
+    else:
+        unit = np.clip(frames.astype(np.float32), 0.0, 1.0)
     if np.dtype(dtype) == np.uint8:
-        return frames.astype(np.uint8)
-    return frames.astype(np.float32) / 255.0
+        return (unit * 255 + 0.5).astype(np.uint8)
+    return unit
 
 
 def prepare_mesh_inputs(mesh: TriMesh, num_shape_samples: int = 16384,
@@ -524,7 +531,11 @@ class MotionPipeline:
         quantized to uint16, ~3e-5 error) — the CLI's ``--exact`` flag sets
         both. ``host_resize`` downsamples frames to the model's
         input size on host before upload (see :func:`resize_frames`);
-        disable to reproduce the in-graph resize exactly.
+        disable to reproduce the in-graph resize exactly. Note the
+        border-statistics FALLBACK mask is then estimated at model
+        resolution rather than full resolution — a deliberate deviation
+        (the fallback is already a no-weights substitute; the U2Net-weights
+        path keeps the reference's full-res segment-then-resize order).
         """
         from concurrent.futures import ThreadPoolExecutor
         from motion324_tpu.utils.profiling import phase_timer
@@ -602,10 +613,10 @@ class MotionPipeline:
         decoded video shape, each group predicted at batch B in one program.
 
         ``jobs`` is a list of ``(mesh_path, video_path)``; outputs land in
-        ``output_dir/<video_stem>/output_animation.glb``. Jobs whose decoded
-        videos differ in shape fall into separate groups (each group shares
-        one compiled program; the window/sample shapes are identical across
-        all groups already, so only the leading batch dim recompiles).
+        ``output_dir/<video_stem>/output_animation.glb``. Jobs stack into one
+        program only when ALL their static shapes agree — decoded video shape
+        AND mesh vertex count (``ref_pcd`` carries the mesh's own vertices,
+        which differ per mesh); anything else falls into its own group.
         """
         from concurrent.futures import ThreadPoolExecutor
         os.makedirs(output_dir, exist_ok=True)
@@ -627,10 +638,12 @@ class MotionPipeline:
 
         groups: dict = {}
         for idx, (inputs, _, video, _) in enumerate(loaded):
-            groups.setdefault(video.shape, []).append(idx)
+            key = (video.shape,) + tuple(sorted(
+                (k, v.shape[1:]) for k, v in inputs.items()))
+            groups.setdefault(key, []).append(idx)
 
         out_paths = [None] * len(loaded)
-        for shape, idxs in groups.items():
+        for key, idxs in groups.items():
             batch_inputs = {
                 k: np.concatenate([loaded[i][0][k] for i in idxs], axis=0)
                 for k in loaded[idxs[0]][0]}
@@ -639,7 +652,7 @@ class MotionPipeline:
             trajs = self.predict_batch(batch_inputs, videos,
                                        segment=use_segmentation)
             dt = time.perf_counter() - t0
-            log(f"batch predict: {len(idxs)} clips x {shape[0]} frames in "
+            log(f"batch predict: {len(idxs)} clips x {key[0][0]} frames in "
                 f"{dt:.2f}s ({len(idxs) / dt:.2f} clips/s)")
             if smooth:
                 trajs = smooth_trajectories(trajs, method="combined",

@@ -194,14 +194,19 @@ def _build_pp_step(model, tx, cfg, mesh, loss_fn: Callable | None = None,
         def loss_fn(params, batch, rng):
             pred = model.apply(params, batch, train=True,
                                rngs={"dropout": rng})
-            loss, metrics = coord_mse_loss(pred, batch["point_clouds"], weight)
-            # count the loss only on the last stage: every replicated compute
-            # path then contributes its gradient exactly once (see pp.py)
-            mask = (jax.lax.axis_index(axis) == n_stages - 1).astype(
-                jnp.float32)
-            return loss * mask, jax.tree.map(lambda v: v * mask, metrics)
+            return coord_mse_loss(pred, batch["point_clouds"], weight)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    def masked_loss(params, batch, rng):
+        # count the loss only on the last stage: every replicated compute
+        # path then contributes its gradient exactly once (see pp.py).
+        # Applied OUTSIDE the user loss_fn so caller-supplied losses get
+        # the same guarantee — without it the psum over stages would scale
+        # loss and replicated-path grads by n_stages.
+        loss, metrics = loss_fn(params, batch, rng)
+        mask = (jax.lax.axis_index(axis) == n_stages - 1).astype(jnp.float32)
+        return loss * mask, jax.tree.map(lambda v: v * mask, metrics)
+
+    grad_fn = jax.value_and_grad(masked_loss, has_aux=True)
 
     def device_step(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))

@@ -104,8 +104,19 @@ def main(argv=None):
                 pipeline.run_batch(chunk, args.output,
                                    num_shape_samples=n_samples)
             except Exception as e:
-                log(f"batch group {i // args.batch} FAILED: {e!r}")
-                failures += len(chunk)
+                # keep the B=1 path's per-job isolation: retry the chunk's
+                # jobs individually so one bad asset fails one job, not B
+                log(f"batch group {i // args.batch} failed ({e!r}); "
+                    f"retrying its {len(chunk)} jobs individually")
+                for mesh_path, video_path in chunk:
+                    stem = os.path.splitext(os.path.basename(video_path))[0]
+                    try:
+                        pipeline.run(mesh_path, video_path,
+                                     os.path.join(args.output, stem),
+                                     num_shape_samples=n_samples)
+                    except Exception as e2:
+                        log(f"job {stem} FAILED: {e2!r}")
+                        failures += 1
     else:
         for job in good:
             mesh_path, video_path = job[0], job[1]

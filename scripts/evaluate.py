@@ -129,7 +129,7 @@ def main(argv=None):
                 "dreamsim": dreamsim(gt[:t], pr[:t]),
             }
             if untrained:
-                rec["untrained_tower"] = untrained
+                rec["untrained_tower"] = list(untrained)  # per-record copy
             name = os.path.splitext(os.path.basename(pred_path))[0]
             with open(os.path.join(args.output, f"{name}.json"), "w") as f:
                 json.dump(rec, f, indent=2)
@@ -148,8 +148,10 @@ def main(argv=None):
             fvd = compute_fvd(gts, prs, fn)
             if i3d_params is None:
                 log("WARNING: FVD computed with a RANDOM I3D — relative-only")
-                for s in summaries:
-                    s.setdefault("untrained_tower", []).append("fvd")
+                for s_ in summaries:
+                    tags = s_.setdefault("untrained_tower", [])
+                    if "fvd" not in tags:
+                        tags.append("fvd")
             log(f"FVD over {len(gts)} pairs: {fvd:.3f}")
             for s in summaries:
                 s["fvd"] = fvd

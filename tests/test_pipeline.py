@@ -225,3 +225,32 @@ def test_run_batch_writes_outputs(pipeline, tmp_path):
     for p, stem in zip(out, ("clip_a", "clip_b")):
         assert p.endswith(os.path.join(stem, "output_animation.glb"))
         assert os.path.getsize(p) > 0
+
+
+def test_run_batch_heterogeneous_meshes(pipeline, tmp_path):
+    """Jobs with DIFFERENT meshes (different vertex counts) must not be
+    stacked into one program — regression for grouping by video shape only,
+    which crashed np.concatenate over (1, V1, 3)/(1, V2, 3)."""
+    import cv2
+    glb_a = str(tmp_path / "cube.glb")
+    export_glb(glb_a, CUBE_V, CUBE_F)
+    # a 5-vertex pyramid: different vertex count than the cube
+    pyr_v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [0.5, 0.5, 1]], np.float32)
+    pyr_f = np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4],
+                      [0, 2, 1], [0, 3, 2]], np.int64)
+    glb_b = str(tmp_path / "pyramid.glb")
+    export_glb(glb_b, pyr_v, pyr_f)
+
+    r = np.random.RandomState(7)
+    vp = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 12, (28, 28))
+    for _ in range(4):
+        w.write((r.rand(28, 28, 3) * 255).astype(np.uint8))
+    w.release()
+    vp2 = str(tmp_path / "clip2.mp4")
+    os.link(vp, vp2)
+
+    out = pipeline.run_batch([(glb_a, vp), (glb_b, vp2)],
+                             str(tmp_path / "out"), num_shape_samples=64)
+    assert len(out) == 2 and all(p and os.path.getsize(p) > 0 for p in out)

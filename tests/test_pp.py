@@ -161,3 +161,46 @@ def test_pp_forward_matches_unsharded():
         check_vma=False))(params_s, batch)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pp_custom_loss_fn_masked():
+    """A caller-supplied loss_fn must get the last-stage mask applied by the
+    pp step itself — otherwise the stage psum scales loss (and the
+    replicated-path grads) by n_stages."""
+    if jax.device_count() < 4:
+        pytest.skip("needs a multi-device mesh")
+    from motion324_tpu.training.loss import coord_mse_loss
+
+    cfg = _cfg()
+    pp = 4
+    mesh = make_mesh(dp=2, mp=pp)
+    model_pp = MotionLatentModel(dataclasses.replace(
+        SMALL, pp_axis="mp", pp_size=pp, pp_microbatches=2))
+    batch = _batch(jax.random.PRNGKey(0))
+    params_np = jax.tree.map(np.asarray, jax.jit(
+        MotionLatentModel(SMALL).init)(jax.random.PRNGKey(1), batch))
+
+    def my_loss(params, batch, rng):
+        pred = model_pp.apply(params, batch, train=True,
+                              rngs={"dropout": rng})
+        return coord_mse_loss(pred, batch["point_clouds"], 1.0)
+
+    tx, _ = create_optimizer(cfg)
+    step_default = build_train_step(model_pp, tx, cfg, mesh, mode="pp")
+    step_custom = build_train_step(model_pp, tx, cfg, mesh, mode="pp",
+                                   loss_fn=my_loss)
+
+    st1 = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+    st1 = jax.device_put(st1, step_default.state_shardings(st1))
+    b = jax.device_put(batch, batch_sharding(mesh))
+    _, m1 = step_default(st1, b, jax.random.PRNGKey(3))
+
+    st2 = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+    st2 = jax.device_put(st2, step_custom.state_shardings(st2))
+    _, m2 = step_custom(st2, b, jax.random.PRNGKey(3))
+
+    # identical loss definitions -> identical masked loss and grad norm
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m2["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-5)
