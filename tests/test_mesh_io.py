@@ -255,3 +255,20 @@ def test_video_roundtrip(tmp_path):
     back = read_video(path)
     assert back.shape == (5, 32, 32, 3)
     assert np.abs(back * 255 - frames).mean() < 15
+
+
+def test_read_video_fused_resize(tmp_path):
+    """resize_to fused into the decode loop == resizing the full-res stack
+    afterwards (channel permutation commutes with resize), for u8 and f32."""
+    from motion324_tpu.inference.pipeline import resize_frames
+    from motion324_tpu.io.video import read_video, write_video
+    rng = np.random.default_rng(0)
+    frames = (rng.random((4, 48, 64, 3)) * 255).astype(np.uint8)
+    path = write_video(str(tmp_path / "v.mp4"), frames, fps=8)
+    for dtype in (np.uint8, np.float32):
+        full = read_video(path, dtype=dtype)
+        fused = read_video(path, dtype=dtype, resize_to=16)
+        assert fused.shape == (4, 16, 16, 3) and fused.dtype == dtype
+        np.testing.assert_array_equal(fused, resize_frames(full, 16))
+    # max_frames still honoured with the fused resize
+    assert read_video(path, 2, resize_to=16).shape == (2, 16, 16, 3)
