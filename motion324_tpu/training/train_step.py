@@ -91,6 +91,16 @@ def build_train_step(model, tx, cfg, mesh,
     # reference's AMP bf16 DDP buckets); off by default — numerics-identical
     # paths stay comparable in tests and single-chip runs see no traffic
     bf16_reduce = bool(t.get("bf16_grad_allreduce", False))
+    # accumulate micro-batch grads in bf16: the f32 accumulator read-write is
+    # ~1.2 GB of HBM traffic per micro at the dyscene shapes (the trace's
+    # convert_reduce fusions); bf16 halves it. The convert the backward
+    # already emits (params are f32, compute bf16) cancels against the
+    # accumulator cast, so XLA adds bf16-to-bf16 directly. Summing `accum`
+    # micros in bf16 costs <= log2(accum) of its 8 mantissa bits in relative
+    # error (~1e-2 at accum 16) — well under gradient noise; the final
+    # divide + optimizer update stay f32. Off by default (exact-parity runs).
+    accum_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[
+        str(t.get("grad_accum_dtype", "float32"))]
 
     if loss_fn is None:
         def loss_fn(params, batch, rng):
@@ -109,6 +119,9 @@ def build_train_step(model, tx, cfg, mesh,
             def body(carry, mb_rng):
                 mb, r = mb_rng
                 (loss, metrics), grads = grad_fn(state.params, mb, r)
+                if accum_dtype is not None:
+                    grads = jax.tree.map(
+                        lambda g: g.astype(accum_dtype), grads)
                 acc_loss, acc_metrics, acc_grads = carry
                 return (acc_loss + loss,
                         jax.tree.map(jnp.add, acc_metrics, metrics),
@@ -116,13 +129,16 @@ def build_train_step(model, tx, cfg, mesh,
 
             rngs = jax.random.split(rng, accum)
             zero = jnp.zeros((), jnp.float32)
-            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, accum_dtype or p.dtype),
+                state.params)
             zero_m = {"loss": zero, "xyz_loss": zero}
             (loss, metrics, grads), _ = jax.lax.scan(
                 body, (zero, zero_m, zero_g), (batch, rngs))
             loss = loss / accum
             metrics = jax.tree.map(lambda x: x / accum, metrics)
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            grads = jax.tree.map(
+                lambda g, p: g.astype(p.dtype) / accum, grads, state.params)
         else:
             (loss, metrics), grads = grad_fn(state.params, batch, rng)
 

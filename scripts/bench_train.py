@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of one timed "
                         "step into DIR (parse plugins/profile/*/*.json.gz)")
+    p.add_argument("--accum-bf16", action="store_true",
+                   help="accumulate micro-batch gradients in bf16 (halves "
+                        "the accumulator's HBM read-write per micro; final "
+                        "divide + optimizer update stay f32)")
     p.add_argument("--accum", type=int, default=1,
                    help="gradient-accumulation steps: the per-chip batch "
                         "runs as `accum` micro-batches of batch/accum "
@@ -81,6 +85,8 @@ def main(argv=None):
     if args.batch % accum:
         raise SystemExit("--batch must be divisible by --accum")
     cfg.training.grad_accum_steps = accum
+    if args.accum_bf16:
+        cfg.training.grad_accum_dtype = "bfloat16"
 
     r = np.random.RandomState(0)
     f32 = lambda *shape: jnp.asarray(r.rand(*shape).astype(np.float32))

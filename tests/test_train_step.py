@@ -175,6 +175,37 @@ def test_bf16_grad_allreduce_close_to_f32(_shared):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-2)
 
 
+def test_bf16_grad_accum_close_to_f32():
+    """training.grad_accum_dtype=bfloat16 halves the accumulator's HBM
+    traffic; the resulting one-step params must stay within bf16 rounding of
+    the f32-accumulation step."""
+    over = ["training.warmup=0", "training.train_steps=100",
+            "training.lr=1e-2", "training.grad_accum_steps=4",
+            "training.allowed_gradnorm_factor=1e9"]
+    mesh = make_mesh()
+    model = MotionLatentModel(SMALL)
+    big = _batch(jax.random.PRNGKey(5), b=32)
+    params_np = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(1), big))
+    split = jax.tree.map(lambda x: x.reshape(4, 8, *x.shape[1:]), big)
+    out = {}
+    for name, extra in [("f32", []),
+                        ("bf16", ["training.grad_accum_dtype=bfloat16"])]:
+        cfg = load_config("configs/dyscene.yaml", over + extra)
+        tx, _ = create_optimizer(cfg)
+        state = TrainState.create(jax.tree.map(jnp.asarray, params_np), tx)
+        step = build_train_step(model, tx, cfg, mesh)
+        batch = jax.device_put(split, jax.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "dp")))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["skipped"]) == 0.0
+        out[name] = jax.tree.map(np.asarray, state.params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(out["f32"]),
+                    jax.tree_util.tree_leaves(out["bf16"])):
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2)
+
+
 def test_trainer_loop_end_to_end(tmp_path):
     """Trainer.train: 3 optimizer steps on a tiny model over an 8-device dp
     mesh, with grad accumulation, prefetched H2D batches, checkpointing and
