@@ -14,11 +14,14 @@ pymeshlab dependency:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from motion324_tpu.io.mesh import TriMesh
 
-__all__ = ["remove_floaters", "remove_degenerate", "reduce_faces"]
+__all__ = ["remove_floaters", "remove_degenerate", "reduce_faces",
+           "remesh_mesh"]
 
 
 def _compact(vertices, faces):
@@ -126,3 +129,35 @@ def reduce_faces(mesh: TriMesh, max_facenum: int = 40000,
     reps, faces = best
     v2, f2 = _compact(reps, faces)
     return TriMesh(vertices=v2, faces=f2)
+
+
+def remesh_mesh(mesh_path: str, remesh_path: str, *,
+                face_threshold: int = 100_000,
+                target_faces: int = 40_000) -> TriMesh:
+    """Load ``mesh_path``; if it has more than ``face_threshold`` faces,
+    quadric-decimate to ``target_faces``; write the result to ``remesh_path``.
+
+    File-level equivalent of the reference's ``remesh_mesh`` /
+    ``mesh_simplify_trimesh`` (reference
+    scripts/hy3dgen/texgen/utils/simplify_mesh_utils.py:18-36), which round-
+    trips through pymeshlab+trimesh with the same 100k-face trigger and
+    40k-face target. Returns the (possibly simplified) mesh.
+    """
+    from motion324_tpu.io.glb import export_glb
+    from motion324_tpu.io.mesh import load_mesh
+
+    mesh = load_mesh(mesh_path)
+    if len(mesh.faces) > face_threshold:
+        mesh = reduce_faces(mesh, max_facenum=target_faces)
+    ext = os.path.splitext(remesh_path)[1].lower()
+    if ext in (".glb", ".gltf"):
+        export_glb(remesh_path, mesh.vertices, mesh.faces)
+    elif ext == ".obj":
+        with open(remesh_path, "w") as fh:
+            for v in mesh.vertices:
+                fh.write(f"v {v[0]} {v[1]} {v[2]}\n")
+            for f in mesh.faces:
+                fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+    else:
+        raise ValueError(f"unsupported remesh output format: {remesh_path}")
+    return mesh

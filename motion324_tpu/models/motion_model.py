@@ -57,12 +57,14 @@ class ModelConfig:
     image_size: int = 224
     patch_size: int = 14
     frames: int = 12           # trained window; pos-embed native T
-    decode_frames_chunk: int = 1  # frames decoded per scan step (folded into
-                                  # the batch axis; divides T or falls back to
-                                  # 1). >1 trades HBM for fewer scan steps —
-                                  # the cross-block MLP hidden is
-                                  # (chunk*B, N, 4C), 3 GB at chunk 4/batch 32,
-                                  # which OOMs the dyscene recipe; keep 1 there.
+    decode_frames_chunk: int = 1  # frames decoded per point-decoder scan step
+                                  # (folded into the batch axis; divides T or
+                                  # falls back to 1). >1 trades HBM for fewer
+                                  # scan steps: the cross-block MLP hidden is
+                                  # (chunk*micro_b, N, 4C). The dyscene recipe
+                                  # (micro-batch 2) fits chunk=T=12 and sets it
+                                  # in the YAML; inference pipelines set
+                                  # chunk=frames. Conservative default: 1.
     point_hidden: int = 48     # PointEmbed basis width
     dino_depth: int = 12       # DINOv2 ViT-B/14 depth (embed dim == feat_dim,
     dino_heads: int = 12       # no projection layer — reference relies on 768==768)
@@ -99,7 +101,7 @@ class ModelConfig:
             use_qk_norm=m.use_qk_norm, drop_rate=m.get("drop_rate", 0.1),
             image_size=m.get("image_size", 224), patch_size=m.get("patch_size", 14),
             frames=cfg.training.frames, dtype=dt,
-            decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 2)),
+            decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 1)),
             remat=cfg.training.get("remat", False) if remat is None else remat,
             remat_policy=cfg.training.get("remat_policy", None),
             scan_unroll=int(cfg.training.get("scan_unroll", 1)),

@@ -78,6 +78,15 @@ def build_train_step(model, tx, cfg, mesh,
         (:mod:`motion324_tpu.parallel.pp`) — the model must be built with
         ``pp_axis='mp'``/``pp_size=mesh.shape['mp']``; batch over ``dp``.
     """
+    if mode in ("gspmd", "pp"):
+        # neither alternative mode implements micro-batch accumulation, so a
+        # configured grad_accum_dtype would be silently ignored — refuse it
+        gad = str(cfg.training.get("grad_accum_dtype", "float32"))
+        if gad != "float32":
+            raise ValueError(
+                f"training.grad_accum_dtype={gad!r} has no effect in "
+                f"mode={mode!r} (only the default shard_map mode "
+                "accumulates micro-batch gradients)")
     if mode == "gspmd":
         return _build_gspmd_step(model, tx, cfg, mesh, loss_fn)
     if mode == "pp":
@@ -99,8 +108,12 @@ def build_train_step(model, tx, cfg, mesh,
     # micros in bf16 costs <= log2(accum) of its 8 mantissa bits in relative
     # error (~1e-2 at accum 16) — well under gradient noise; the final
     # divide + optimizer update stay f32. Off by default (exact-parity runs).
-    accum_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[
-        str(t.get("grad_accum_dtype", "float32"))]
+    _gad = str(t.get("grad_accum_dtype", "float32"))
+    if _gad not in ("float32", "bfloat16"):
+        raise ValueError(
+            "training.grad_accum_dtype must be 'float32' or 'bfloat16', "
+            f"got {_gad!r}")
+    accum_dtype = {"bfloat16": jnp.bfloat16, "float32": None}[_gad]
 
     if loss_fn is None:
         def loss_fn(params, batch, rng):

@@ -14,7 +14,7 @@ import os
 import time
 from typing import Any, Mapping
 
-__all__ = ["MetricsLogger", "log", "is_main_process"]
+__all__ = ["MetricsLogger", "RunningStats", "log", "is_main_process"]
 
 
 def is_main_process() -> bool:
@@ -27,6 +27,41 @@ def log(*args, force: bool = False) -> None:
     if force or is_main_process():
         now = datetime.datetime.now().strftime("[%Y-%m-%d %H:%M:%S]")
         print(now, *args, flush=True)
+
+
+class RunningStats:
+    """Streaming count/sum/mean/min/max accumulator (reference
+    scripts/hy3dgen/texgen/utils/counter_utils.py:16-48)."""
+
+    def __init__(self) -> None:
+        self.count = 0
+        self.sum = 0.0
+        self.mean = 0.0
+        self.min: float | None = None
+        self.max: float | None = None
+
+    def add_value(self, value) -> None:
+        value = float(value)
+        self.count += 1
+        self.sum += value
+        self.mean = self.sum / self.count
+        self.min = value if self.min is None else min(self.min, value)
+        self.max = value if self.max is None else max(self.max, value)
+
+    def get_count(self):
+        return self.count
+
+    def get_sum(self):
+        return self.sum
+
+    def get_mean(self):
+        return self.mean
+
+    def get_min(self):
+        return self.min
+
+    def get_max(self):
+        return self.max
 
 
 class MetricsLogger:

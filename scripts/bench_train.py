@@ -86,6 +86,10 @@ def main(argv=None):
         raise SystemExit("--batch must be divisible by --accum")
     cfg.training.grad_accum_steps = accum
     if args.accum_bf16:
+        if accum == 1:
+            raise SystemExit(
+                "--accum-bf16 requires --accum > 1: the bf16 accumulator "
+                "only exists in the accumulation scan path")
         cfg.training.grad_accum_dtype = "bfloat16"
 
     r = np.random.RandomState(0)

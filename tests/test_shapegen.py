@@ -152,6 +152,33 @@ def test_remove_degenerate():
     assert len(out.faces) == 12
 
 
+def test_remesh_mesh_roundtrip(tmp_path):
+    from motion324_tpu.hy3dgen.postprocess import remesh_mesh
+    from motion324_tpu.io.glb import export_glb
+    from motion324_tpu.io.mesh import load_mesh
+    src = str(tmp_path / "in.glb")
+    dst = str(tmp_path / "out.glb")
+    export_glb(src, CUBE_V.astype(np.float32), CUBE_F.astype(np.int32))
+    out = remesh_mesh(src, dst)  # 12 faces < 100k threshold: pass-through
+    assert len(out.faces) == 12
+    back = load_mesh(dst)
+    assert len(back.faces) == 12
+    # with a tiny threshold the decimator must engage and hit the target
+    out2 = remesh_mesh(src, dst, face_threshold=4, target_faces=8)
+    assert 0 < len(out2.faces) <= 8
+
+
+def test_running_stats():
+    from motion324_tpu.utils.logging import RunningStats
+    rs = RunningStats()
+    for v in [3.0, -1.0, 2.0]:
+        rs.add_value(v)
+    assert rs.get_count() == 3
+    assert rs.get_sum() == 4.0
+    assert abs(rs.get_mean() - 4.0 / 3.0) < 1e-12
+    assert rs.get_min() == -1.0 and rs.get_max() == 3.0
+
+
 def test_reduce_faces_under_budget():
     from motion324_tpu.native import marching_cubes
     n = 48

@@ -253,3 +253,16 @@ def test_trainer_loop_end_to_end(tmp_path):
     trainer2 = Trainer(cfg, batches(), model=model, mesh=mesh)
     state2 = trainer2.train(max_steps=3)  # auto_resume -> already at 3
     assert int(state2.step) == 3
+
+
+def test_invalid_grad_accum_dtype_rejected(_shared):
+    cfg, mesh, model, _, _, tx, _ = _shared
+    import copy
+    bad = copy.deepcopy(cfg)
+    bad.training.grad_accum_dtype = "bf16"  # must be the full dtype name
+    with pytest.raises(ValueError, match="grad_accum_dtype"):
+        build_train_step(model, tx, bad, mesh)
+    # alternative modes don't accumulate: a non-default dtype is an error
+    bad.training.grad_accum_dtype = "bfloat16"
+    with pytest.raises(ValueError, match="no effect"):
+        build_train_step(model, tx, bad, mesh, mode="gspmd")
