@@ -38,6 +38,15 @@ class MeshRenderer:
         self.proj = orthographic(-s, s, -s, s, 0.1, 100.0)
         self.interpret = interpret
         self._vn = vertex_normals(mesh.vertices, mesh.faces)
+        # the mesh is fixed for the renderer's lifetime, so every view (and
+        # the UV atlas pass) is rasterized at most ONCE: the paint pipeline
+        # renders each view to feed the diffusion net and then bakes, which
+        # back-projects the SAME views for depth/reliability — without the
+        # cache that re-rasterized every view a second time (12 raster
+        # passes per 6-view bake instead of 6 + 1 UV).
+        self._view_cache: dict = {}
+        self._uv_raster = None
+        self.raster_calls = 0  # observability: actual rasterizer invocations
 
     # ------------------------------------------------------------------ #
     def _clip_positions(self, elev: float, azim: float) -> np.ndarray:
@@ -46,15 +55,25 @@ class MeshRenderer:
 
     def render_view(self, elev: float, azim: float) -> dict:
         """Render one view: returns dict with ``mask``, ``depth``, ``normal``
-        (world-space, [-1,1]), ``position`` (world-space xyz) images."""
+        (world-space, [-1,1]), ``position`` (world-space xyz) images.
+
+        Memoized per (elev, azim): callers across the paint pipeline share
+        one rasterization per view."""
+        key = (float(elev), float(azim))
+        cached = self._view_cache.get(key)
+        if cached is not None:
+            return cached
         pos_clip = self._clip_positions(elev, azim)
         find, bary, normal, position, z = _view_products(
             jnp.asarray(pos_clip), jnp.asarray(self.mesh.faces, jnp.int32),
             jnp.asarray(self._vn), jnp.asarray(self.mesh.vertices),
             self.resolution, self.interpret)
-        return {"mask": np.asarray(find) > 0, "normal": np.asarray(normal),
+        self.raster_calls += 1
+        view = {"mask": np.asarray(find) > 0, "normal": np.asarray(normal),
                 "position": np.asarray(position), "depth": np.asarray(z),
                 "findices": np.asarray(find), "bary": np.asarray(bary)}
+        self._view_cache[key] = view
+        return view
 
     # ------------------------------------------------------------------ #
     def rasterize_uv(self):
@@ -63,6 +82,8 @@ class MeshRenderer:
         Equivalent of the reference's UV-space pass used for baking
         (mesh_render.py:566-622): UV coordinates become clip-space xy.
         """
+        if self._uv_raster is not None:
+            return self._uv_raster
         uv = self.mesh.uv
         if uv is None:
             raise ValueError("mesh has no UV coordinates")
@@ -71,8 +92,11 @@ class MeshRenderer:
         pos[:, 0] = uv[:, 0] * 2 - 1
         pos[:, 1] = 1 - 2 * uv[:, 1]
         pos[:, 3] = 1.0
-        return rasterize(pos, self.mesh.faces, self.texture_size,
-                         self.texture_size, interpret=self.interpret)
+        self.raster_calls += 1
+        self._uv_raster = rasterize(pos, self.mesh.faces, self.texture_size,
+                                    self.texture_size,
+                                    interpret=self.interpret)
+        return self._uv_raster
 
     def reliability_mask(self, view: dict, angle_thres_deg: float = 75.0
                          ) -> np.ndarray:

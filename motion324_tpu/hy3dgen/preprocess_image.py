@@ -13,7 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["recenter_image", "prepare_condition_image"]
+__all__ = ["recenter_image", "prepare_condition_image",
+           "prepare_condition_images_mv"]
 
 
 def recenter_image(image: np.ndarray, border_ratio: float = 0.2):
@@ -70,3 +71,28 @@ def prepare_condition_image(image: np.ndarray, size: int = 518,
     out = cv2.resize(out, (size, size), interpolation=cv2.INTER_CUBIC)
     mask = cv2.resize(mask, (size, size), interpolation=cv2.INTER_NEAREST)
     return np.clip(out, 0, 1), mask
+
+
+def prepare_condition_images_mv(image_dict: dict, size: int = 518,
+                                border_ratio: float = 0.15):
+    """Multiview conditioning prep (reference ``MVImageProcessorV2``,
+    preprocessors.py:120-160).
+
+    ``image_dict`` maps view tags (subset of front/left/back/right) to images;
+    each view is recentered + resized like the single-view path, then views
+    are SORTED by canonical slot index (front=0, left=1, back=2, right=3).
+    Returns ``(images (V, S, S, 3), masks (V, S, S), view_idxs (V,) int)``.
+    """
+    from motion324_tpu.hy3dgen.conditioner import VIEW_SLOTS
+    entries = []
+    for tag, img in image_dict.items():
+        if tag not in VIEW_SLOTS:
+            raise ValueError(f"unknown view tag {tag!r}; expected one of "
+                             f"{sorted(VIEW_SLOTS)}")
+        out, mask = prepare_condition_image(img, size, border_ratio)
+        entries.append((VIEW_SLOTS[tag], out, mask))
+    entries.sort(key=lambda e: e[0])
+    idxs = np.array([e[0] for e in entries], np.int32)
+    images = np.stack([e[1] for e in entries])
+    masks = np.stack([e[2] for e in entries])
+    return images, masks, idxs

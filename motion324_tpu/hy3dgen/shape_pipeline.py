@@ -46,7 +46,8 @@ class ShapeGenPipeline:
                  vae_width: int = 1024, vae_heads: int = 16,
                  vae_layers: int = 16,
                  image_size: int = 518, dtype: Any = jnp.bfloat16,
-                 attn_backend: str | None = None):
+                 attn_backend: str | None = None,
+                 conditioner_type: str = "single", view_num: int = 4):
         self.dit = Hunyuan3DDiT(in_channels=latent_dim,
                                 context_in_dim=cond_dim,
                                 hidden_size=dit_hidden, num_heads=dit_heads,
@@ -58,16 +59,35 @@ class ShapeGenPipeline:
                             num_decoder_layers=vae_layers, dtype=dtype)
         # conditioner: frozen DINOv2-giant-class ViT (reference
         # conditioner.py:96-133); unconditional embedding is zeros.
-        self.conditioner = DinoViT(embed_dim=cond_dim, depth=cond_depth,
-                                   num_heads=cond_heads, dtype=dtype)
+        # 'single' = DinoImageEncoder, 'mv' = DinoImageEncoderMV with 1-D
+        # sincos view embeddings over canonical front/left/back/right slots
+        # (reference conditioner.py:134-200).
+        if conditioner_type not in ("single", "mv"):
+            raise ValueError(f"conditioner_type must be 'single' or 'mv', "
+                             f"got {conditioner_type!r}")
+        self.conditioner_type = conditioner_type
+        if conditioner_type == "mv":
+            from motion324_tpu.hy3dgen.conditioner import DinoConditionerMV
+            self.conditioner = DinoConditionerMV(
+                embed_dim=cond_dim, depth=cond_depth, num_heads=cond_heads,
+                view_num=view_num, dtype=dtype)
+        else:
+            self.conditioner = DinoViT(embed_dim=cond_dim, depth=cond_depth,
+                                       num_heads=cond_heads, dtype=dtype)
+        self.view_num = view_num
         self.params = params
         self.num_latents = num_latents
         self.latent_dim = latent_dim
         self.image_size = image_size
 
-        @jax.jit
-        def _encode_cond(cond_params, image):
-            return self.conditioner.apply(cond_params, image)
+        if conditioner_type == "mv":
+            @jax.jit
+            def _encode_cond(cond_params, image, view_idxs):
+                return self.conditioner.apply(cond_params, image, view_idxs)
+        else:
+            @jax.jit
+            def _encode_cond(cond_params, image):
+                return self.conditioner.apply(cond_params, image)
 
         @functools.partial(jax.jit, static_argnums=(4,))
         def _denoise(dit_params, latents, cond_pair, sigmas, guidance_scale):
@@ -111,11 +131,17 @@ class ShapeGenPipeline:
         k1, k2, k3 = jax.random.split(key, 3)
         lat = jnp.zeros((1, self.num_latents, self.latent_dim))
         cond = jnp.zeros((1, 2, self.conditioner.embed_dim))
-        img = jnp.zeros((1, self.image_size, self.image_size, 3))
+        if self.conditioner_type == "mv":
+            img = jnp.zeros((1, self.view_num, self.image_size,
+                             self.image_size, 3))
+            cparams = jax.jit(self.conditioner.init)(k3, img)
+        else:
+            img = jnp.zeros((1, self.image_size, self.image_size, 3))
+            cparams = jax.jit(self.conditioner.init)(k3, img)
         params = {
             "dit": jax.jit(self.dit.init)(k1, lat, jnp.zeros((1,)), cond),
             "vae": jax.jit(self.vae.init)(k2, lat, jnp.zeros((1, 8, 3))),
-            "conditioner": jax.jit(self.conditioner.init)(k3, img),
+            "conditioner": cparams,
         }
         self.params = params
         return self
@@ -130,23 +156,39 @@ class ShapeGenPipeline:
                  seed: int = 0) -> TriMesh:
         """image (H, W, 3|4) in [0, 1] -> extracted TriMesh.
 
+        With ``conditioner_type='mv'`` pass a DICT of view-tag -> image
+        instead (tags among front/left/back/right; reference
+        MVImageProcessorV2, preprocessors.py:120-160).
+
         ``recenter`` applies the alpha-aware border-ratio recentering the
         reference always runs before conditioning (ImageProcessorV2,
         preprocessors.py:30-117); disable only for pre-processed inputs.
         """
-        if recenter:
+        if self.conditioner_type == "mv":
+            if not isinstance(image, dict):
+                raise ValueError("mv pipeline takes a dict of view-tag -> "
+                                 "image (front/left/back/right)")
             from motion324_tpu.hy3dgen.preprocess_image import (
-                prepare_condition_image)
-            image, _ = prepare_condition_image(image, self.image_size,
-                                               border_ratio)
-        elif image.shape[:2] != (self.image_size, self.image_size):
-            image = np.asarray(jax.image.resize(
-                jnp.asarray(image[..., :3]),
-                (self.image_size, self.image_size, 3),
-                method="linear", antialias=True))
+                prepare_condition_images_mv)
+            images, _, idxs = prepare_condition_images_mv(
+                image, self.image_size, border_ratio)
+            cond = self._encode_cond(self.params["conditioner"],
+                                     jnp.asarray(images)[None],
+                                     jnp.asarray(idxs)[None])
+        else:
+            if recenter:
+                from motion324_tpu.hy3dgen.preprocess_image import (
+                    prepare_condition_image)
+                image, _ = prepare_condition_image(image, self.image_size,
+                                                   border_ratio)
+            elif image.shape[:2] != (self.image_size, self.image_size):
+                image = np.asarray(jax.image.resize(
+                    jnp.asarray(image[..., :3]),
+                    (self.image_size, self.image_size, 3),
+                    method="linear", antialias=True))
 
-        cond = self._encode_cond(self.params["conditioner"],
-                                 jnp.asarray(image)[None])
+            cond = self._encode_cond(self.params["conditioner"],
+                                     jnp.asarray(image)[None])
         cond_pair = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
 
         latents = jax.random.normal(

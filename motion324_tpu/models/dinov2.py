@@ -94,11 +94,15 @@ class DinoViT(nn.Module):
     native_grid: int = 37  # pos-embed grid of the 518px pretraining resolution
     mlp_ratio: int = 4
     mlp_type: str = "mlp"  # "swiglu" for the ViT-g conditioner
+    keep_cls: bool = False  # True: return [CLS | patches] like the reference
+                            # conditioner's last_hidden_state with
+                            # use_cls_token (conditioner.py:76-106)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images):
-        """images: ``(B, H, W, 3)`` in [0, 1]; returns ``(B, (H/14)*(W/14), C)``."""
+        """images: ``(B, H, W, 3)`` in [0, 1]; returns ``(B, (H/14)*(W/14), C)``
+        (or ``(B, 1+P, C)`` with ``keep_cls``)."""
         b, h, w, _ = images.shape
         gh, gw = h // self.patch_size, w // self.patch_size
 
@@ -127,6 +131,8 @@ class DinoViT(nn.Module):
                          mlp_ratio=self.mlp_ratio, mlp_type=self.mlp_type,
                          dtype=self.dtype)(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        if self.keep_cls:
+            return x
         return x[:, 1:]  # drop CLS: x_norm_patchtokens
 
 

@@ -22,7 +22,7 @@ import numpy as np
 __all__ = ["convert_motion_checkpoint", "convert_dinov2_vitb14",
            "convert_hunyuan3d_dit", "convert_shape_vae", "convert_dinov2_hf",
            "convert_u2net", "convert_isnet", "convert_lpips",
-           "load_torch_state_dict"]
+           "load_torch_state_dict", "convert_mv_conditioner"]
 
 
 def load_torch_state_dict(path: str) -> dict:
@@ -478,3 +478,25 @@ def convert_lpips(lins_sd: dict, vgg_sd: dict) -> dict:
     lins = [np.asarray(lins_sd[f"lin{i}.model.1.weight"],
                        np.float32).reshape(-1) for i in range(5)]
     return {"vgg": {"params": convs}, "lins": lins}
+
+
+def convert_mv_conditioner(sd: dict, depth: int = 24) -> dict:
+    """Reference multiview conditioner state dict -> DinoConditionerMV tree.
+
+    The reference stores the HF Dinov2Model under
+    ``main_image_encoder.model.*`` (conditioner.py:214-257 SingleImageEncoder
+    wrapping DinoImageEncoderMV); the sincos view table is a buffer we
+    recompute deterministically, so only the ViT weights convert. Accepts
+    either the wrapped prefix or a bare HF dict.
+    """
+    for prefix in ("main_image_encoder.model.", "model.", ""):
+        inner = {k[len(prefix):]: v for k, v in sd.items()
+                 if k.startswith(prefix + "embeddings.")
+                 or k.startswith(prefix + "encoder.")
+                 or k.startswith(prefix + "layernorm.")}
+        if inner:
+            break
+    if not inner:
+        raise ValueError("no Dinov2Model weights found in state dict")
+    swiglu = any("weights_in" in k for k in inner)
+    return {"dino": convert_dinov2_hf(inner, depth=depth, swiglu=swiglu)}

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--octree-resolution", type=int, default=384)
     p.add_argument("--max-faces", type=int, default=40000)
     p.add_argument("--texture", action="store_true")
+    p.add_argument("--mv", action="store_true",
+                   help="multiview conditioning: each job dir provides a "
+                        "views/ folder with front/left/back/right images "
+                        "(reference MVImageProcessorV2 + DinoImageEncoderMV)")
     args = p.parse_args(argv)
 
     from motion324_tpu.utils.jit_cache import enable_compilation_cache
@@ -72,14 +76,38 @@ def main(argv=None):
     mine = greedy_shards(jobs, args.N)[args.n]
     log(f"shard {args.n}/{args.N}: {len(mine)} of {len(jobs)} jobs")
 
-    pipe = ShapeGenPipeline.init_random()
+    pipe = ShapeGenPipeline.init_random(
+        conditioner_type="mv" if args.mv else "single")
+
+    def _load(path):
+        return np.asarray(Image.open(path).convert("RGB"),
+                          dtype=np.float32) / 255.0
+
+    def _mv_views(img_path):
+        """views/{front,left,back,right}.* next to masked_rgb."""
+        views_dir = os.path.join(os.path.dirname(os.path.dirname(img_path)),
+                                 "views")
+        found = {}
+        if os.path.isdir(views_dir):
+            for f in sorted(os.listdir(views_dir)):
+                tag = os.path.splitext(f)[0].lower()
+                if tag in ("front", "left", "back", "right"):
+                    found[tag] = _load(os.path.join(views_dir, f))
+        return found
     painter = PaintPipeline() if args.texture else None
     os.makedirs(args.output, exist_ok=True)
     for img_path in mine:
         stem = img_path.split(os.sep)[-3].replace("_processed", "")
-        image = np.asarray(Image.open(img_path).convert("RGB"),
-                           dtype=np.float32) / 255.0
-        mesh = pipe(image, num_inference_steps=args.steps,
+        image = _load(img_path)
+        if args.mv:
+            views = _mv_views(img_path)
+            if not views:
+                views = {"front": image}
+            cond_input = views
+            image = views.get("front", image)  # paint reference view
+        else:
+            cond_input = image
+        mesh = pipe(cond_input, num_inference_steps=args.steps,
                     octree_resolution=args.octree_resolution)
         if not len(mesh.faces):
             log(f"{stem}: empty mesh, skipping")

@@ -61,9 +61,62 @@ def install_stubs():
           register_to_config=lambda f: f)
     _stub("diffusers.schedulers.scheduling_utils", SchedulerMixin=object)
     _stub("diffusers.image_processor", VaeImageProcessor=_Cfg)
+    # functional torchvision.transforms stub: the reference conditioner
+    # builds Resize/CenterCrop/Normalize pipelines at __init__ and runs them
+    # in forward (conditioner.py:80-104). Semantics match torchvision for
+    # the (B, C, H, W) tensors the conditioner feeds them.
+    import torch
+
+    class _Resize:
+        def __init__(self, size, interpolation=None, antialias=True):
+            self.size = size
+            self.antialias = bool(antialias)
+
+        def __call__(self, x):
+            import torch.nn.functional as F
+            h, w = x.shape[-2:]
+            if isinstance(self.size, int):
+                if min(h, w) == self.size:
+                    return x
+                s = self.size / min(h, w)
+                nh, nw = round(h * s), round(w * s)
+            else:
+                nh, nw = self.size
+            return F.interpolate(x, (nh, nw), mode="bilinear",
+                                 antialias=self.antialias,
+                                 align_corners=False)
+
+    class _CenterCrop:
+        def __init__(self, size):
+            self.size = (size, size) if isinstance(size, int) else size
+
+        def __call__(self, x):
+            h, w = x.shape[-2:]
+            th, tw = self.size
+            i, j = (h - th) // 2, (w - tw) // 2
+            return x[..., i:i + th, j:j + tw]
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean.to(x.dtype)) / self.std.to(x.dtype)
+
+    class _Compose:
+        def __init__(self, fs):
+            self.fs = fs
+
+        def __call__(self, x):
+            for f in self.fs:
+                x = f(x)
+            return x
+
     _stub("torchvision", transforms=types.SimpleNamespace(
-        Compose=_noop, Normalize=_noop, Resize=_noop, CenterCrop=_noop,
-        ToTensor=_noop, InterpolationMode=types.SimpleNamespace(
+        Compose=_Compose, Normalize=_Normalize, Resize=_Resize,
+        CenterCrop=_CenterCrop, ToTensor=_noop,
+        InterpolationMode=types.SimpleNamespace(
             BICUBIC=None, BILINEAR=None)))
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -85,3 +138,10 @@ def ref_shape_vae():
     install_stubs()
     from hy3dgen.shapegen.models.autoencoders.model import ShapeVAE
     return ShapeVAE
+
+
+def ref_conditioner_module():
+    """Reference conditioner module (DinoImageEncoder[MV], wrappers)."""
+    install_stubs()
+    import importlib
+    return importlib.import_module("hy3dgen.shapegen.models.conditioner")

@@ -71,3 +71,22 @@ def test_uv_rasterize_and_bake():
     assert tex.shape == (32, 32, 3)
     if mask.any():
         np.testing.assert_allclose(tex[mask], 0.7, atol=1e-3)
+
+
+def test_bake_reuses_view_rasterizations():
+    """One rasterization per view per renderer lifetime: rendering the views
+    for the diffusion stage and then baking must NOT rasterize them again
+    (plus exactly one UV-atlas pass), and repeated bake() calls reuse the
+    cached UV raster."""
+    uv = np.random.RandomState(0).rand(8, 2).astype(np.float32) * 0.8 + 0.1
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F, uv=uv)
+    r = MeshRenderer(mesh, resolution=32, texture_size=32, interpret=True)
+    views = [(0, 0, 1.0), (90, 0, 0.1), (180, 0, 0.5)]
+    for azim, elev, _ in views:
+        r.render_view(elev, azim)   # diffusion-stage renders
+    assert r.raster_calls == 3
+    imgs = [np.full((32, 32, 3), 0.7, np.float32) for _ in views]
+    r.bake(imgs, views)
+    assert r.raster_calls == 4      # + UV atlas only; views came from cache
+    r.bake(imgs, views)
+    assert r.raster_calls == 4      # fully cached

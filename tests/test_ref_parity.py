@@ -108,3 +108,68 @@ def test_dinov2_matches_hf_torch(swiglu):
         ref_out = ref(torch.from_numpy(x_t)).last_hidden_state.numpy()[:, 1:]
     out = np.asarray(ours.apply(params, jnp.asarray(img)))
     np.testing.assert_allclose(out, ref_out, atol=3e-4, rtol=3e-4)
+
+
+# --------------------------------------------------------------------------- #
+# Multiview conditioner (DinoImageEncoderMV) vs the reference torch module
+# --------------------------------------------------------------------------- #
+def test_mv_conditioner_matches_reference_torch():
+    """Our DinoConditionerMV vs the reference's DinoImageEncoderMV
+    (reference conditioner.py:134-200): per-view encode + 1-D sincos view
+    embeddings + token concat, default order AND a shuffled 2-view subset."""
+    from ref_oracle import ref_conditioner_module
+    from motion324_tpu.hy3dgen.conditioner import DinoConditionerMV
+    from motion324_tpu.utils.torch_convert import convert_mv_conditioner
+
+    mod = ref_conditioner_module()
+    grid, patch, dim, heads, depth = 4, 14, 48, 4, 2
+    size = grid * patch
+    torch.manual_seed(5)
+    cfg = dict(hidden_size=dim, num_hidden_layers=depth,
+               num_attention_heads=heads, intermediate_size=None,
+               mlp_ratio=4, image_size=size, patch_size=patch,
+               use_swiglu_ffn=True, layerscale_value=0.1)
+    ref = mod.DinoImageEncoderMV(config=cfg, image_size=size,
+                                 view_num=4).eval()
+
+    ours = DinoConditionerMV(embed_dim=dim, depth=depth, num_heads=heads,
+                             patch_size=patch, native_grid=grid,
+                             mlp_type="swiglu", view_num=4)
+    params = {"params": convert_mv_conditioner(
+        {k: v for k, v in ref.model.state_dict().items()}, depth=depth)}
+
+    rng = np.random.RandomState(6)
+    img = rng.rand(2, 4, size, size, 3).astype(np.float32)  # (B,V,H,W,3) [0,1]
+    img_t = torch.from_numpy(
+        (img * 2 - 1).transpose(0, 1, 4, 2, 3))  # ref takes [-1,1] BCHW
+
+    with torch.no_grad():
+        ref_out = ref(img_t).numpy()
+    out = np.asarray(ours.apply(params, jnp.asarray(img)))
+    assert out.shape == ref_out.shape == (2, 4 * (grid * grid + 1), dim)
+    np.testing.assert_allclose(out, ref_out, atol=3e-4, rtol=3e-4)
+
+    # 2-view subset with explicit canonical slots (front, back)
+    sub = img[:, :2]
+    idxs = np.array([[0, 2], [0, 2]], np.int32)
+    with torch.no_grad():
+        ref_sub = ref(torch.from_numpy(
+            (sub * 2 - 1).transpose(0, 1, 4, 2, 3)),
+            view_idxs=[[0, 2], [0, 2]]).numpy()
+    out_sub = np.asarray(ours.apply(params, jnp.asarray(sub),
+                                    jnp.asarray(idxs)))
+    np.testing.assert_allclose(out_sub, ref_sub, atol=3e-4, rtol=3e-4)
+    # view embedding matters: slots (0,2) != slots (0,1)
+    out_alt = np.asarray(ours.apply(params, jnp.asarray(sub),
+                                    jnp.asarray([[0, 1], [0, 1]], np.int32)))
+    assert np.abs(out_alt - out_sub).max() > 1e-3
+
+
+def test_sincos_view_table_matches_reference():
+    from ref_oracle import ref_conditioner_module
+    from motion324_tpu.hy3dgen.conditioner import get_1d_sincos_pos_embed
+    mod = ref_conditioner_module()
+    pos = np.arange(4, dtype=np.float32)
+    ref = mod.get_1d_sincos_pos_embed_from_grid(48, pos)
+    ours = get_1d_sincos_pos_embed(48, pos)
+    np.testing.assert_allclose(ours, ref, atol=1e-12)

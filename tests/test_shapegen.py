@@ -212,6 +212,28 @@ def test_shape_pipeline_tiny_end_to_end():
     assert np.isfinite(mesh.vertices).all() if len(mesh.vertices) else True
 
 
+def test_shape_pipeline_mv_tiny_end_to_end():
+    """Multiview conditioning smoke: dict of view-tag -> image through the
+    MV conditioner (reference MVImageProcessorV2 + DinoImageEncoderMV,
+    preprocessors.py:120-160, conditioner.py:134-200)."""
+    from motion324_tpu.hy3dgen.shape_pipeline import ShapeGenPipeline
+    pipe = ShapeGenPipeline.init_random(
+        num_latents=8, latent_dim=8, cond_dim=36, cond_depth=1, cond_heads=3,
+        dit_hidden=36, dit_heads=3, dit_depth=1, dit_single=1,
+        vae_width=32, vae_heads=4, vae_layers=1,
+        image_size=28, dtype=jnp.float32,
+        conditioner_type="mv", view_num=4)
+
+    rng = np.random.RandomState(1)
+    views = {tag: rng.rand(32, 40, 4).astype(np.float32)
+             for tag in ("front", "back", "left")}
+    mesh = pipe(views, num_inference_steps=3, octree_resolution=16,
+                hierarchical=False, num_chunks=128)
+    assert mesh.vertices.ndim == 2 and mesh.vertices.shape[1] == 3
+    if len(mesh.vertices):
+        assert np.isfinite(mesh.vertices).all()
+
+
 def test_consistency_sigmas():
     from motion324_tpu.hy3dgen.scheduler import consistency_flow_match_sigmas
     s = consistency_flow_match_sigmas(5)
