@@ -69,11 +69,13 @@ class _Attention(nn.Module):
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
         v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        if isinstance(mask, tuple):
+        from motion324_tpu.hy3dgen.voxel_attention import ImplicitVoxelMask
+        if isinstance(mask, (tuple, ImplicitVoxelMask)):
             # voxel-locality turbo attention with the mask IMPLICIT in
             # per-token cell positions — the Pallas kernel recomputes it per
             # tile, so no (S, S) mask/logits ever materialise (the dense
-            # form is 600 MB at product resolution). mask = (positions, r).
+            # form is 600 MB at product resolution). mask = (positions, r);
+            # ImplicitVoxelMask keeps r static across jit boundaries.
             from motion324_tpu.ops.masked_attention import \
                 masked_flash_attention
             positions, radius = mask

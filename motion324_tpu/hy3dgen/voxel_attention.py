@@ -16,11 +16,41 @@ reference's dicts are keyed for lookup inside the UNet blocks.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["voxel_grid_mask", "multi_resolution_mask",
            "voxel_positions", "multi_resolution_positions",
-           "discrete_voxel_indices", "multi_resolution_voxel_indices"]
+           "discrete_voxel_indices", "multi_resolution_voxel_indices",
+           "ImplicitVoxelMask"]
+
+
+@jax.tree_util.register_pytree_node_class
+class ImplicitVoxelMask:
+    """``(positions, radius)`` pair whose radius stays STATIC under jit.
+
+    The radius is a pure function of the grid resolution (``1.73 / g``), so
+    it must reach the Pallas kernel as a compile-time constant; as a plain
+    tuple leaf it would be traced when the mask dict crosses a ``jax.jit``
+    boundary and ``float(radius)`` would fail. Registering radius as pytree
+    aux-data keeps it static (one compile per grid resolution, of which
+    there are three). Supports tuple-style ``positions, radius = mask``
+    unpacking.
+    """
+
+    def __init__(self, positions, radius: float):
+        self.positions = positions
+        self.radius = float(radius)
+
+    def tree_flatten(self):
+        return (self.positions,), self.radius
+
+    @classmethod
+    def tree_unflatten(cls, radius, children):
+        return cls(children[0], radius)
+
+    def __iter__(self):
+        return iter((self.positions, self.radius))
 
 
 def _cell_means(position, grid_resolution: int):
@@ -83,7 +113,7 @@ def multi_resolution_positions(position_maps, grid_resolutions=(32, 16, 8)):
     out = {}
     for g in grid_resolutions:
         pos, radius = voxel_positions(position_maps, g)
-        out[pos.shape[1]] = (pos, radius)
+        out[pos.shape[1]] = ImplicitVoxelMask(pos, radius)
     return out
 
 

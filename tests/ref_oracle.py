@@ -145,3 +145,48 @@ def ref_conditioner_module():
     install_stubs()
     import importlib
     return importlib.import_module("hy3dgen.shapegen.models.conditioner")
+
+
+def ref_hunyuanpaint_module():
+    """Reference hunyuanpaint pipeline module (DDIMSolver, LCM scalings,
+    get_predicted_original_sample — pipeline.py:84-165). Pipeline CLASSES in
+    it are never instantiated; only the pure sampling-math helpers are used
+    as oracles, so the diffusers surface is stubbed with empty classes."""
+    install_stubs()
+
+    class _C:
+        def __init__(self, *a, **k):
+            pass
+
+    gen = {n: _C for n in (
+        "AutoencoderKL DDPMScheduler DiffusionPipeline "
+        "EulerAncestralDiscreteScheduler UNet2DConditionModel "
+        "ImagePipelineOutput StableDiffusionInstructPix2PixPipeline "
+        "LCMScheduler StableDiffusionPipeline ControlNetModel "
+        "StableDiffusionControlNetPipeline StableDiffusionUpscalePipeline "
+        "StableDiffusionXLControlNetImg2ImgPipeline "
+        "KarrasDiffusionSchedulers").split()}
+    _stub("diffusers", **gen)
+    _stub("diffusers.callbacks", MultiPipelineCallbacks=_C,
+          PipelineCallback=_C)
+    _stub("diffusers.image_processor", PipelineImageInput=object)
+    _stub("diffusers.pipelines")
+    _stub("diffusers.pipelines.stable_diffusion")
+    _stub("diffusers.pipelines.stable_diffusion.pipeline_output",
+          StableDiffusionPipelineOutput=dict)
+    _stub("diffusers.pipelines.stable_diffusion.pipeline_stable_diffusion",
+          StableDiffusionPipeline=_C,
+          retrieve_timesteps=lambda *a, **k: None,
+          rescale_noise_cfg=lambda *a, **k: None)
+    _stub("diffusers.schedulers", KarrasDiffusionSchedulers=_C,
+          LCMScheduler=_C)
+    _stub("diffusers.utils", deprecate=lambda *a, **k: None)
+    _stub("diffusers.models", UNet2DConditionModel=_C)
+    _stub("diffusers.models.attention_processor", Attention=_C)
+    _stub("diffusers.models.transformers")
+    _stub("diffusers.models.transformers.transformer_2d",
+          BasicTransformerBlock=_C)
+    _stub("xatlas")
+    _stub("cv2", INTER_AREA=3, INTER_CUBIC=2, INTER_NEAREST=0, INTER_LINEAR=1)
+    import importlib
+    return importlib.import_module("hy3dgen.texgen.hunyuanpaint.pipeline")
