@@ -131,17 +131,28 @@ class _AttentionPool(nn.Module):
 
 class _HunyuanAttention(nn.Module):
     """diffusers Attention with qk_norm='layer_norm' and rotary embeddings:
-    rope applied to q always, to k only for self-attention."""
+    rope applied to q always, to k only for self-attention.
+
+    ``perturb=True`` (self-attention only) replaces the attention map with
+    the identity — each token attends solely to itself, so the output is
+    ``to_out(to_v(x))`` with q/k/norms/rope skipped. This is the
+    perturbed-attention-guidance (PAG) degradation the reference enables via
+    diffusers' ``enable_pag=True`` (reference scripts/hy3dgen/
+    text2image.py:36-46; PAGIdentitySelfAttnProcessor semantics)."""
 
     dim: int
     heads: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, rope=None):
+    def __call__(self, x, context=None, rope=None, perturb: bool = False):
         self_attn = context is None
         context = x if context is None else context
         b, l, _ = x.shape
+        if perturb:
+            assert self_attn, "PAG perturbs self-attention only"
+            v = nn.Dense(self.dim, dtype=self.dtype, name="to_v")(context)
+            return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(v)
         lc = context.shape[1]
         hd = self.dim // self.heads
         q = nn.Dense(self.dim, dtype=self.dtype, name="to_q")(x)
@@ -172,7 +183,8 @@ class _HunyuanBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx, temb, rope, skip_tensor=None):
+    def __call__(self, x, ctx, temb, rope, skip_tensor=None,
+                 perturb: bool = False):
         if self.skip:
             cat = jnp.concatenate([x, skip_tensor], axis=-1)
             cat = nn.LayerNorm(epsilon=1e-6, name="skip_norm")(
@@ -183,7 +195,7 @@ class _HunyuanBlock(nn.Module):
             nn.silu(temb.astype(jnp.float32)).astype(temb.dtype))
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x) + shift[:, None]
         x = x + _HunyuanAttention(self.dim, self.heads, self.dtype,
-                                  name="attn1")(h, rope=rope)
+                                  name="attn1")(h, rope=rope, perturb=perturb)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(
             x.astype(jnp.float32)).astype(x.dtype)
         x = x + _HunyuanAttention(self.dim, self.heads, self.dtype,
@@ -217,7 +229,12 @@ class HunyuanDiT2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, clip_states, t5_states, clip_mask=None,
-                 t5_mask=None, image_meta_size=None, style=None):
+                 t5_mask=None, image_meta_size=None, style=None,
+                 pag_layers: tuple = ()):
+        """``pag_layers`` (static tuple of block indices) routes those
+        blocks' self-attention through the PAG identity perturbation —
+        the reference's ``pag_applied_layers=['blocks.(16|17|18|19)']``
+        (reference scripts/hy3dgen/text2image.py:41)."""
         b, hh, ww, _ = x.shape
         gh, gw = hh // self.patch, ww // self.patch
         head_dim = self.hidden // self.heads
@@ -274,7 +291,8 @@ class HunyuanDiT2D(nn.Module):
             blk = _HunyuanBlock(self.hidden, self.heads, skip=layer > half,
                                 dtype=self.dtype, name=f"block_{layer}")
             h = blk(h, ctx, temb, rope,
-                    skip_tensor=skips.pop() if layer > half else None)
+                    skip_tensor=skips.pop() if layer > half else None,
+                    perturb=layer in pag_layers)
             if layer < half - 1:
                 skips.append(h)
 
@@ -392,22 +410,23 @@ class HunyuanDiTImagePipeline:
     def __init__(self, params: dict, *, model: HunyuanDiT2D | None = None,
                  vae=None, image_size: int = 1024,
                  beta_start: float = 0.00085, beta_end: float = 0.03,
-                 num_train_timesteps: int = 1000):
+                 num_train_timesteps: int = 1000,
+                 pag_applied_layers: tuple = (16, 17, 18, 19)):
         from motion324_tpu.hy3dgen.sd_vae import SCALING_FACTOR, AutoencoderKL
 
         self.model = model or HunyuanDiT2D(dtype=jnp.bfloat16)
         self.vae = vae or AutoencoderKL(dtype=jnp.bfloat16)
         self.params = params
         self.image_size = image_size
+        self.pag_applied_layers = tuple(
+            l for l in pag_applied_layers if l < self.model.num_layers)
         betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
                             num_train_timesteps, dtype=np.float64) ** 2
         self._alphas = jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
         self._num_train = num_train_timesteps
         self._scaling = SCALING_FACTOR
 
-        @jax.jit
-        def _step(mp, x, t, a_t, a_prev, clip_c, clip_u, t5_c, t5_u,
-                  cm, tm, guidance):
+        def _eps_cfg(mp, x, t, clip_c, clip_u, t5_c, t5_u, cm, tm, guidance):
             b = x.shape[0]
             tt = jnp.full((2 * b,), t, jnp.float32)
             xx = jnp.concatenate([x, x], axis=0)
@@ -419,9 +438,35 @@ class HunyuanDiTImagePipeline:
                 jnp.concatenate([tm, tm], axis=0))
             eps = out[..., :self.model.in_channels]  # learned sigma dropped
             e_c, e_u = jnp.split(eps, 2, axis=0)
-            eps = e_u + guidance * (e_c - e_u)
+            return e_c, e_u
+
+        def _ddim(x, eps, a_t, a_prev):
             x0 = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
             return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
+
+        @jax.jit
+        def _step(mp, x, t, a_t, a_prev, clip_c, clip_u, t5_c, t5_u,
+                  cm, tm, guidance):
+            e_c, e_u = _eps_cfg(mp, x, t, clip_c, clip_u, t5_c, t5_u,
+                                cm, tm, guidance)
+            return _ddim(x, e_u + guidance * (e_c - e_u), a_t, a_prev)
+
+        @jax.jit
+        def _step_pag(mp, x, t, a_t, a_prev, clip_c, clip_u, t5_c, t5_u,
+                      cm, tm, guidance, pag_scale):
+            """CFG + perturbed-attention guidance (reference
+            text2image.py:30-81, pag_scale 1.3): the perturbed branch runs
+            the COND embeddings through the model with identity self-attn in
+            ``pag_applied_layers``; eps = e_u + g*(e_c - e_u)
+            + pag*(e_c - e_p)."""
+            e_c, e_u = _eps_cfg(mp, x, t, clip_c, clip_u, t5_c, t5_u,
+                                cm, tm, guidance)
+            tt = jnp.full((x.shape[0],), t, jnp.float32)
+            out_p = self.model.apply(mp, x, tt, clip_c, t5_c, cm, tm,
+                                     pag_layers=self.pag_applied_layers)
+            e_p = out_p[..., :self.model.in_channels]
+            eps = (e_u + guidance * (e_c - e_u) + pag_scale * (e_c - e_p))
+            return _ddim(x, eps, a_t, a_prev)
 
         @jax.jit
         def _decode(vp, z):
@@ -429,6 +474,7 @@ class HunyuanDiTImagePipeline:
             return self.vae.apply(vp, z / self._scaling, method=_V.decode)
 
         self._step = _step
+        self._step_pag = _step_pag
         self._decode = _decode
 
     @classmethod
@@ -444,7 +490,13 @@ class HunyuanDiTImagePipeline:
     def __call__(self, clip_states, t5_states, *, clip_uncond=None,
                  t5_uncond=None, clip_mask=None, t5_mask=None,
                  num_steps: int = 25, guidance_scale: float = 6.0,
+                 enable_pag: bool = False, pag_scale: float = 1.3,
                  seed: int = 0) -> np.ndarray:
+        """``enable_pag`` adds perturbed-attention guidance on top of CFG —
+        the reference's sampling mode (text2image.py:41-46,76: enable_pag,
+        pag_scale=1.3 over blocks 16-19). Costs one extra conditional
+        forward per step; at ``pag_scale=0`` the update reduces exactly to
+        plain CFG."""
         b = np.asarray(clip_states).shape[0]
         lat = self.image_size // 8
         clip_states = jnp.asarray(clip_states)
@@ -465,8 +517,14 @@ class HunyuanDiTImagePipeline:
             a_t = self._alphas[int(t)]
             a_prev = (self._alphas[int(ts[i + 1])] if i + 1 < len(ts)
                       else jnp.float32(1.0))
-            x = self._step(self.params["transformer"], x, float(t), a_t,
-                           a_prev, clip_states, clip_u, t5_states, t5_u,
-                           cm, tm, float(guidance_scale))
+            if enable_pag:
+                x = self._step_pag(self.params["transformer"], x, float(t),
+                                   a_t, a_prev, clip_states, clip_u,
+                                   t5_states, t5_u, cm, tm,
+                                   float(guidance_scale), float(pag_scale))
+            else:
+                x = self._step(self.params["transformer"], x, float(t), a_t,
+                               a_prev, clip_states, clip_u, t5_states, t5_u,
+                               cm, tm, float(guidance_scale))
         img = self._decode(self.params["vae"], x)
         return np.clip((np.asarray(img) + 1) / 2, 0, 1)

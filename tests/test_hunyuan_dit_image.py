@@ -91,3 +91,72 @@ def test_released_dims_param_shapes():
     assert "skip_linear" not in shapes["block_20"]
     assert shapes["block_21"]["skip_linear"]["kernel"].shape == (2816, 1408)
     assert shapes["proj_out"]["kernel"].shape == (1408, 2 * 2 * 8)
+
+
+# --------------------------------------------------------------------------- #
+# Perturbed-attention guidance (reference text2image.py:30-81: enable_pag,
+# pag_scale=1.3, pag_applied_layers blocks 16-19)
+# --------------------------------------------------------------------------- #
+def _tiny_pipeline(pag_layers=(2, 3)):
+    import jax
+
+    from motion324_tpu.hy3dgen.hunyuan_dit_image import HunyuanDiTImagePipeline
+    from motion324_tpu.hy3dgen.sd_vae import AutoencoderKL
+
+    model = HunyuanDiT2D(**CFG)
+    vae = AutoencoderKL(block_channels=(8, 16), layers_per_block=1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    mp = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, CFG["text_len"], CFG["ctx_dim"])),
+        jnp.zeros((1, CFG["text_len_t5"], CFG["t5_dim"]))))(k1)
+    vp = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 16, 16, 3))))(k2)
+    return HunyuanDiTImagePipeline(
+        {"transformer": mp, "vae": vp}, model=model, vae=vae, image_size=64,
+        pag_applied_layers=pag_layers)
+
+
+def test_pag_identity_attention_semantics():
+    """perturb=True == to_out(to_v(x)): identity attention map, q/k/norms/
+    rope skipped (diffusers PAGIdentitySelfAttnProcessor semantics)."""
+    import jax
+
+    from motion324_tpu.hy3dgen.hunyuan_dit_image import _HunyuanAttention
+
+    attn = _HunyuanAttention(dim=32, heads=4)
+    x = np.random.RandomState(0).randn(2, 9, 32).astype(np.float32)
+    params = attn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = attn.apply(params, jnp.asarray(x), perturb=True)
+    p = params["params"]
+    manual = (x @ np.asarray(p["to_v"]["kernel"])
+              + np.asarray(p["to_v"]["bias"])) @ np.asarray(
+        p["to_out"]["kernel"]) + np.asarray(p["to_out"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), manual, atol=1e-5)
+    # and differs from the unperturbed attention
+    base = attn.apply(params, jnp.asarray(x))
+    assert not np.allclose(np.asarray(base), manual, atol=1e-3)
+
+
+def test_pag_zero_scale_degenerates_to_cfg():
+    pipe = _tiny_pipeline()
+    rng = np.random.RandomState(1)
+    clip = rng.randn(1, CFG["text_len"], CFG["ctx_dim"]).astype(np.float32)
+    t5 = rng.randn(1, CFG["text_len_t5"], CFG["t5_dim"]).astype(np.float32)
+    plain = pipe(clip, t5, num_steps=3, seed=7)
+    pag0 = pipe(clip, t5, num_steps=3, seed=7, enable_pag=True, pag_scale=0.0)
+    np.testing.assert_allclose(pag0, plain, atol=1e-6)
+
+
+def test_pag_changes_output_and_respects_layers():
+    pipe = _tiny_pipeline(pag_layers=(2, 3))
+    rng = np.random.RandomState(1)
+    clip = rng.randn(1, CFG["text_len"], CFG["ctx_dim"]).astype(np.float32)
+    t5 = rng.randn(1, CFG["text_len_t5"], CFG["t5_dim"]).astype(np.float32)
+    plain = pipe(clip, t5, num_steps=3, seed=7)
+    pag = pipe(clip, t5, num_steps=3, seed=7, enable_pag=True, pag_scale=1.3)
+    assert not np.allclose(pag, plain, atol=1e-4)
+    assert np.isfinite(pag).all() and 0 <= pag.min() and pag.max() <= 1
+    # out-of-range layer indices are dropped (40-block default on a 6-block
+    # test model leaves no applied layers -> identical to plain CFG)
+    pipe_none = _tiny_pipeline(pag_layers=(16, 17, 18, 19))
+    assert pipe_none.pag_applied_layers == ()
