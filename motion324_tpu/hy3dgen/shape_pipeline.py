@@ -123,6 +123,68 @@ class ShapeGenPipeline:
 
     # ------------------------------------------------------------------ #
     @classmethod
+    def from_hunyuan_ckpt(cls, ckpt_path: str, **kwargs):
+        """Build the pipeline from a released Hunyuan3D-2 single-file ckpt.
+
+        ``ckpt_path`` is the snapshot's
+        ``hunyuan3d-dit-v2-0/model.fp16.ckpt`` (torch pickle with
+        ``{'model', 'vae', 'conditioner'}`` sub-dicts — reference
+        pipelines.py:130-193 ``from_single_file``). Architecture dims (depths,
+        widths, latent/cond dims, SwiGLU-vs-MLP conditioner FFN) are inferred
+        from the state dict itself; pass explicit kwargs to override. The
+        converters are the oracle-validated ones in utils/torch_convert.
+        """
+        import torch
+
+        from motion324_tpu.utils.torch_convert import (convert_dinov2_hf,
+                                                       convert_hunyuan3d_dit,
+                                                       convert_shape_vae)
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+
+        def np_sd(sub):
+            return {k: v.float().numpy() for k, v in ckpt[sub].items()}
+
+        dit_sd, vae_sd = np_sd("model"), np_sd("vae")
+        cond_sd = np_sd("conditioner") if "conditioner" in ckpt else None
+
+        def count(sd, fmt):
+            i = 0
+            while any(k.startswith(fmt.format(i)) for k in sd):
+                i += 1
+            return i
+
+        dit_depth = count(dit_sd, "double_blocks.{}.")
+        dit_single = count(dit_sd, "single_blocks.{}.")
+        kwargs.setdefault("dit_depth", dit_depth)
+        kwargs.setdefault("dit_single", dit_single)
+        kwargs.setdefault("dit_hidden", dit_sd["latent_in.weight"].shape[0])
+        kwargs.setdefault("latent_dim", dit_sd["latent_in.weight"].shape[1])
+        kwargs.setdefault("cond_dim", dit_sd["cond_in.weight"].shape[1])
+        vae_layers = count(vae_sd, "transformer.resblocks.{}.")
+        kwargs.setdefault("vae_layers", vae_layers)
+        kwargs.setdefault("vae_width", vae_sd["post_kl.weight"].shape[0])
+
+        params = {
+            "dit": convert_hunyuan3d_dit(dit_sd, depth=dit_depth,
+                                         depth_single=dit_single),
+            "vae": convert_shape_vae(vae_sd, num_layers=vae_layers),
+        }
+        if cond_sd is not None:
+            prefix = "main_image_encoder.model."
+            dino_sd = {k[len(prefix):]: v for k, v in cond_sd.items()
+                       if k.startswith(prefix)} or cond_sd
+            depth = count(dino_sd, "encoder.layer.{}.")
+            swiglu = any("weights_in" in k for k in dino_sd)
+            kwargs.setdefault("cond_depth", depth)
+            params["conditioner"] = convert_dinov2_hf(dino_sd, depth=depth,
+                                                      swiglu=swiglu)
+        self = cls(params={}, **kwargs)
+        self.params = params
+        return self
+
+    # ------------------------------------------------------------------ #
+    @classmethod
     def init_random(cls, key=None, **kwargs):
         """Random-weight pipeline (smoke/benchmark mode; real weights come
         from the torch-checkpoint converter)."""

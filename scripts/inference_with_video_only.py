@@ -36,6 +36,14 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--texture", action="store_true",
                         help="run the multiview texture pipeline")
+    parser.add_argument("--hy3d-ckpt", default=None,
+                        help="Hunyuan3D-2 single-file ckpt "
+                             "(hunyuan3d-dit-v2-0/model.fp16.ckpt) for the "
+                             "shape pipeline; omitted = random weights")
+    parser.add_argument("--shape-tiny", action="store_true",
+                        help="tiny random shape pipeline (CI smoke: the "
+                             "full-dim random conditioner is minutes of "
+                             "wasted CPU when no weights exist anyway)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -69,7 +77,17 @@ def main(argv=None):
     log(f"preprocessed {len(frames)} frames, bbox={bbox}")
 
     # ---- stage 2: shape (+texture) from the first frame ---------------- #
-    pipe = ShapeGenPipeline.init_random(image_size=518)
+    if args.hy3d_ckpt:
+        pipe = ShapeGenPipeline.from_hunyuan_ckpt(args.hy3d_ckpt)
+        log(f"loaded Hunyuan3D shape weights from {args.hy3d_ckpt}")
+    elif args.shape_tiny:
+        pipe = ShapeGenPipeline.init_random(
+            image_size=224, cond_dim=256, cond_depth=2, cond_heads=4,
+            dit_hidden=128, dit_heads=4, dit_depth=2, dit_single=2,
+            vae_width=128, vae_heads=4, vae_layers=2, num_latents=64,
+            latent_dim=8)
+    else:
+        pipe = ShapeGenPipeline.init_random(image_size=518)
     mesh = pipe(frames[0], num_inference_steps=args.steps,
                 octree_resolution=args.octree_resolution)
     mesh = remove_floaters(mesh)
