@@ -169,6 +169,37 @@ def lscm_parameterize(vertices: np.ndarray, faces: np.ndarray):
     return uv.astype(np.float32)
 
 
+def _lscm_areas_ok(tri_world: np.ndarray, tri_uv: np.ndarray,
+                   collapse_ratio: float = 1e-3,
+                   max_bad_frac: float = 1e-3) -> bool:
+    """Accept an LSCM chart only if (almost) no face collapses or folds.
+
+    ``tri_world`` (F, 3, 3), ``tri_uv`` (F, 3, 2). Scale-invariant: per-face
+    UV area is compared against world area x the chart's global area ratio.
+    Folds (negative signed area vs the chart majority) count as bad too —
+    folded faces overlap neighbours in the atlas and bake garbage.
+    """
+    e1w = tri_world[:, 1] - tri_world[:, 0]
+    e2w = tri_world[:, 2] - tri_world[:, 0]
+    aw = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=1)
+    d = ((tri_uv[:, 1, 0] - tri_uv[:, 0, 0])
+         * (tri_uv[:, 2, 1] - tri_uv[:, 0, 1])
+         - (tri_uv[:, 2, 0] - tri_uv[:, 0, 0])
+         * (tri_uv[:, 1, 1] - tri_uv[:, 0, 1]))
+    auv = 0.5 * d  # signed
+    solid = aw > 1e-14
+    if not solid.any():
+        return True
+    total_uv = np.abs(auv[solid]).sum()
+    total_w = aw[solid].sum()
+    if total_uv <= 0:
+        return False
+    ratio = total_uv / total_w
+    sign = 1.0 if (auv[solid] > 0).mean() >= 0.5 else -1.0
+    good = sign * auv[solid] > collapse_ratio * ratio * aw[solid]
+    return (~good).mean() <= max_bad_frac
+
+
 def stretch_metric(vertices: np.ndarray, faces: np.ndarray,
                    uv: np.ndarray) -> float:
     """Mean L2 geometric-stretch (Sander et al.): 1.0 = isometric, higher =
@@ -238,6 +269,15 @@ def unwrap_uv(mesh: TriMesh, texture_size: int = 1024, margin_px: int = 4,
                     # guard against pathological solves: worse than ~3x the
                     # box projection's bounded distortion -> fall back
                     if stretch_metric(v[used], remap[fl], uv_vert) > 5.0:
+                        uv = None
+                    # LSCM assumes disk topology; the normal-clustered
+                    # components of generated (marching-cubes) meshes are
+                    # often cylinders/annuli, where the conformal solve
+                    # folds or collapses interior faces — and stretch_metric
+                    # EXCLUDES degenerate-UV faces, so it cannot see that
+                    # failure. Check collapse/fold directly (scale-invariant)
+                    # and fall back to the bounded box projection.
+                    elif not _lscm_areas_ok(v[fl], uv):
                         uv = None
             if uv is None:  # box projection (bounded sqrt(3) stretch)
                 tri = v[mesh.faces[fc]]  # (F, 3, 3)
