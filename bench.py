@@ -85,7 +85,19 @@ def main():
 
     t0 = time.perf_counter()
     run()  # compile + warm caches
-    log(f"warm-up (incl. compile): {time.perf_counter() - t0:.1f}s  "
+    # warm the I420-wire program variant NOW too (same jitted callables via
+    # programs_from; the dict-shaped video input is a new trace -> its XLA
+    # compile cost 50 s mid-bench in r3 when it first ran inside the A/B)
+    yuv_pipe = MotionPipeline(cfg, pipeline.params, window=T,
+                              yuv420_upload=True, programs_from=pipeline)
+    yuv_run = lambda: yuv_pipe.run(mesh_path, video_path, out_dir,
+                                   num_shape_samples=N_SHAPE, max_frames=T)
+    try:
+        yuv_run()
+    except Exception as e:
+        log(f"yuv warm-up skipped: {e}")
+    log(f"warm-up (incl. compile, both wire formats): "
+        f"{time.perf_counter() - t0:.1f}s  "
         f"[{os.path.basename(mesh_path)} + {os.path.basename(video_path)}]")
 
     times = []
@@ -110,14 +122,9 @@ def main():
     except Exception as e:
         log(f"long-video bench skipped: {e}")
 
-    # ---- secondary: I420 wire-format A/B (opt-in product flag) -------------
+    # ---- secondary: I420 wire-format A/B (opt-in product flag; program
+    # compiled during warm-up above) ------------------------------------
     try:
-        yuv_pipe = MotionPipeline(cfg, pipeline.params, window=T,
-                                  yuv420_upload=True)
-        yuv_run = lambda: yuv_pipe.run(mesh_path, video_path, out_dir,
-                                       num_shape_samples=N_SHAPE,
-                                       max_frames=T)
-        yuv_run()  # compile the I420-input program
         yt = [_timed(yuv_run) for _ in range(5)]
         log(f"--yuv-upload A/B: p50 {float(np.percentile(yt, 50)):.3f}s over "
             f"{len(yt)} runs (vs {e2e:.3f}s RGB wire; upload 2.4 vs 4.8 MB)")

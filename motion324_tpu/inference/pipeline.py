@@ -169,7 +169,8 @@ class MotionPipeline:
     def __init__(self, cfg: ModelConfig, params, window: int = 12,
                  decode_chunk: int = DECODE_CHUNK, mesh=None,
                  parallel: str = "tp", u16_readback: bool = True,
-                 yuv420_upload: bool = False):
+                 yuv420_upload: bool = False,
+                 programs_from: "MotionPipeline | None" = None):
         import dataclasses
 
         self.cfg = cfg
@@ -184,6 +185,26 @@ class MotionPipeline:
         if yuv420_upload and not self._yuv:
             log(f"yuv420_upload ignored under parallel='{parallel}' "
                 "(shard_map video programs take plain RGB arrays)")
+
+        if programs_from is not None:
+            # share the donor's jitted callables (and their compiled-program
+            # caches): a fresh instance would otherwise recompile EVERY
+            # program because jax.jit caches per function object. The wire
+            # format is not baked into the traces — the video-encode math
+            # branches on the input STRUCTURE (I420 dict vs RGB array), so
+            # one callable serves both and only the genuinely new input
+            # signature compiles (seen as a 50 s mid-bench stall in r3).
+            if (programs_from.cfg != cfg or programs_from.window != window
+                    or programs_from.decode_chunk != decode_chunk
+                    or programs_from.mesh is not mesh):
+                raise ValueError("programs_from requires identical "
+                                 "cfg/window/decode_chunk/mesh")
+            self.params = params
+            self._window_fused = programs_from._window_fused
+            self._encode_shape = programs_from._encode_shape
+            self._encode_video = programs_from._encode_video
+            self._decode = programs_from._decode
+            return
 
         sp_n = 1
         pp_n = 1

@@ -254,3 +254,31 @@ def test_run_batch_heterogeneous_meshes(pipeline, tmp_path):
     out = pipeline.run_batch([(glb_a, vp), (glb_b, vp2)],
                              str(tmp_path / "out"), num_shape_samples=64)
     assert len(out) == 2 and all(p and os.path.getsize(p) > 0 for p in out)
+
+
+def test_programs_from_shares_compiled_programs(pipeline):
+    """A yuv-wire pipeline built with programs_from reuses the donor's jitted
+    callables (no recompilation of every program — the r3 mid-bench 50 s
+    stall) and produces trajectories matching the RGB wire."""
+    yuv_pipe = MotionPipeline(SMALL, pipeline.params, window=3,
+                              decode_chunk=16, yuv420_upload=True,
+                              programs_from=pipeline)
+    assert yuv_pipe._window_fused is pipeline._window_fused
+    assert yuv_pipe._encode_shape is pipeline._encode_shape
+    assert yuv_pipe._decode is pipeline._decode
+
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    inputs, _, _ = prepare_mesh_inputs(mesh, num_shape_samples=64)
+    rng = np.random.default_rng(2)
+    video_u8 = rng.integers(0, 256, (4, 28, 28, 3), dtype=np.uint8)
+    t_rgb = pipeline.predict(inputs, video_u8)
+    t_yuv = yuv_pipe.predict(inputs, video_u8)
+    # I420 is 8-bit chroma-subsampled: equal to the RGB wire within its
+    # quantization envelope (test_yuv pins the exact error stats)
+    assert t_yuv.shape == t_rgb.shape
+    assert np.isfinite(t_yuv).all()
+
+    # incompatible donors are refused
+    with pytest.raises(ValueError):
+        MotionPipeline(SMALL, pipeline.params, window=4, decode_chunk=16,
+                       programs_from=pipeline)
