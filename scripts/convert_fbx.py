@@ -10,6 +10,7 @@ animated GLB inputs carry their morph targets over as per-frame blend shapes.
 Usage:
   python scripts/convert_fbx.py input.obj [-o out.fbx]
   python scripts/convert_fbx.py output_animation.glb -o anim.fbx --fps 12
+  python scripts/convert_fbx.py output_animation.glb -o anim.abc   # Alembic
 """
 
 import argparse
@@ -45,9 +46,15 @@ def convert(in_path: str, out_path: str,
         verts, faces, uv = mesh.vertices, mesh.faces, mesh.uv
     fps = 12.0 if fps is None else fps
 
+    name = os.path.splitext(os.path.basename(in_path))[0]
+    if out_path.lower().endswith(".abc"):
+        # Alembic output (reference render.py's export_format='abc' slot)
+        from motion324_tpu.io.abc import export_animated_abc
+        export_animated_abc(out_path, verts, faces, trajectories=frames,
+                            fps=fps, name=name)
+        return out_path
     export_animated_fbx(out_path, verts, faces, frames=frames, fps=fps,
-                        uv=uv, name=os.path.splitext(
-                            os.path.basename(in_path))[0])
+                        uv=uv, name=name)
     kind = f"{len(frames)} blend-shape frames" if frames is not None \
         else "static"
     print(f"{in_path} -> {out_path} ({len(verts)} verts, {kind})")
