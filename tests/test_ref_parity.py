@@ -173,3 +173,53 @@ def test_sincos_view_table_matches_reference():
     ref = mod.get_1d_sincos_pos_embed_from_grid(48, pos)
     ours = get_1d_sincos_pos_embed(48, pos)
     np.testing.assert_allclose(ours, ref, atol=1e-12)
+
+
+def test_from_hunyuan_ckpt_infers_dims_and_loads(tmp_path):
+    """ShapeGenPipeline.from_hunyuan_ckpt on a reference-layout single-file
+    ckpt ({'model','vae','conditioner'} sub-dicts, the released snapshot's
+    hunyuan3d-dit-v2-0/model.fp16.ckpt shape): dims inferred from the state
+    dict, converters applied, pipeline constructs and denoises."""
+    from ref_oracle import ref_conditioner_module
+    mod = ref_dit_module()
+    torch.manual_seed(3)
+    dit = mod.Hunyuan3DDiT(**DIT_KW, axes_dim=[8]).eval()
+    RefVAE = ref_shape_vae()
+    vae = RefVAE(num_latents=16, embed_dim=DIT_KW["in_channels"], num_freqs=8,
+                 include_pi=True, heads=4, width=32,
+                 num_decoder_layers=2).eval()
+
+    import transformers
+    dino_cfg = dict(hidden_size=DIT_KW["context_in_dim"], num_hidden_layers=2,
+                    num_attention_heads=4, intermediate_size=48,
+                    patch_size=14, image_size=28)
+    dino = transformers.Dinov2Model(
+        transformers.Dinov2Config(**dino_cfg)).eval()
+    cond_sd = {f"main_image_encoder.model.{k}": v
+               for k, v in dino.state_dict().items()}
+
+    ckpt = {"model": dit.state_dict(), "vae": vae.state_dict(),
+            "conditioner": cond_sd}
+    path = str(tmp_path / "model.fp16.ckpt")
+    torch.save(ckpt, path)
+
+    from motion324_tpu.hy3dgen.shape_pipeline import ShapeGenPipeline
+    pipe = ShapeGenPipeline.from_hunyuan_ckpt(
+        path, num_latents=16, cond_heads=4, vae_heads=4, dit_heads=4,
+        image_size=28, dtype=jnp.float32)
+    # dims inferred from the state dict
+    assert pipe.dit.depth == DIT_KW["depth"]
+    assert pipe.dit.depth_single_blocks == DIT_KW["depth_single_blocks"]
+    assert pipe.dit.hidden_size == DIT_KW["hidden_size"]
+    assert pipe.latent_dim == DIT_KW["in_channels"]
+    assert pipe.vae.num_decoder_layers == 2
+    assert pipe.conditioner.depth == 2
+
+    # converted params drive the jitted stages end to end
+    lat = jnp.zeros((1, 16, pipe.latent_dim))
+    cond = jnp.asarray(np.random.RandomState(0).randn(
+        1, 5, DIT_KW["context_in_dim"]).astype(np.float32))
+    pair = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    sig = jnp.asarray([1.0, 0.5, 0.0], jnp.float32)
+    out = pipe._denoise(pipe.params["dit"], lat, pair, sig, 5.0)
+    assert np.isfinite(np.asarray(out)).all()
