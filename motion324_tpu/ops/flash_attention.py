@@ -15,9 +15,10 @@ block is not lowerable; 8 lanes is the minimum sublane tile and costs 16x less
 HBM than 128-lane replication), and is only emitted when the call is being
 differentiated. Block sizes prefer PAD-FREE exact divisors of the sequence
 length (see ``_pick_block``): the dyscene global sequence 3888 = 3 x 1296 runs
-with zero row padding. The backward pass is
-the standard two-kernel flash backward; ``delta = rowsum(dO * O)`` is computed
-in-kernel from the saved output instead of materialising a broadcast array.
+with zero row padding. The backward pass is the fused single-sweep kernel
+(dq/dk/dv in one pass) for KV <= 4096 and the two-kernel flash backward
+beyond; ``delta = rowsum(dO * O)`` is precomputed in one XLA pass and fed to
+the kernels like lse, so O never streams into the backward kernels.
 """
 
 from __future__ import annotations
@@ -174,8 +175,11 @@ def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
          interpret: bool, with_lse: bool):
     bh, sq, d = q.shape
     skv = k.shape[1]
-    if skv <= block_kv and _SINGLE_KV:
-        # whole KV in one block: skip the streaming machinery
+    if skv <= min(block_kv, _SINGLE_KV_MAX) and _SINGLE_KV:
+        # whole KV in one block: skip the streaming machinery. Capped at
+        # _SINGLE_KV_MAX independently of block_kv — the pad-free picker may
+        # return KV blocks up to 2x target, whose (bq, skv) f32 logit tile
+        # would bust this kernel's VMEM budget.
         return _fwd_single_kv(q, k, v, kv_len, block_q, interpret, with_lse)
     grid = (bh, sq // block_q, skv // block_kv)
     kernel = functools.partial(_fwd_kernel, kv_len=kv_len,
@@ -203,6 +207,8 @@ def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=(_VMEM_LIMIT_MB * 1024 * 1024
+                              if _VMEM_LIMIT_MB else None),
         ),
         interpret=interpret,
     )(q, k, v)
@@ -212,10 +218,13 @@ def _fwd(q, k, v, kv_len: int, block_q: int, block_kv: int,
 # --------------------------------------------------------------------------- #
 # Backward
 # --------------------------------------------------------------------------- #
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                    dq_scr, *, kv_len: int, block_kv: int):
     # q is pre-scaled; returned dq is the gradient w.r.t. the SCALED q (the
     # wrapper's q*scale multiply back-propagates the scale factor exactly).
+    # delta = rowsum(dO * O) arrives PRECOMPUTED (one XLA pass outside) —
+    # recomputing it per KV tile cost nkv redundant (bq, d) VPU passes and
+    # streamed O into the kernel for no other use.
     ikv = pl.program_id(2)
     nkv = pl.num_programs(2)
 
@@ -228,11 +237,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
                             preferred_element_type=jnp.float32)
     s = _mask_tail(s, ikv, kv_len, block_kv, nkv)
     p = jnp.exp(s - lse_ref[0][:, :1])
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=-1, keepdims=True)  # (bq, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = p * (dp - delta_ref[0][:, :1])
     dq_scr[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -242,7 +249,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
                     *, kv_len: int, block_kv: int):
     # q is pre-scaled, so dk = ds^T @ q_scaled carries the scale factor exactly
@@ -263,11 +270,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
     pb = p.astype(do.dtype)
     dv_scr[:] += jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=-1, keepdims=True)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = (p * (dp - delta)).astype(q.dtype)
+    ds = (p * (dp - delta_ref[0][:, :1])).astype(q.dtype)
     dk_scr[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
@@ -277,17 +282,18 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_fused_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                       dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
                       *, kv_len: int, block_kv: int):
     """Single-pass flash backward: dq, dk, dv from ONE sweep over (iq, ikv).
 
     The two-kernel backward recomputes ``s``/``p``/``dp`` in both kernels
-    (7 tile matmuls) and reads q/k/v/o/do/lse from HBM twice; here each tile
+    (7 tile matmuls) and reads q/k/v/do/lse from HBM twice; here each tile
     is computed once (5 matmuls) and inputs stream once. dq accumulates in a
     per-q-block scratch (ikv innermost), dk/dv accumulate into a FULL-KV f32
     scratch (persistent across the whole (iq, ikv) sweep of one bh slice) and
-    are flushed to HBM at the final step.
+    are flushed to HBM at the final step. ``delta = rowsum(dO*O)`` arrives
+    precomputed like lse (O itself is not an input).
     """
     iq = pl.program_id(1)
     nq = pl.num_programs(1)
@@ -308,11 +314,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                             preferred_element_type=jnp.float32)  # (bq,bkv)
     s = _mask_tail(s, ikv, kv_len, block_kv, nkv)
     p = jnp.exp(s - lse_ref[0][:, :1])
-    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
-                    axis=-1, keepdims=True)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = p * (dp - delta_ref[0][:, :1])
 
     pb = p.astype(do.dtype)
     dsb = ds.astype(q.dtype)
@@ -334,7 +338,7 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
+def _bwd_fused(q, k, v, lse, delta, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # tile budget: s/p/dp/ds live at (bq, bkv) f32 + the (skv, d) f32 dk/dv
@@ -353,7 +357,7 @@ def _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
         functools.partial(_bwd_fused_kernel, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, sq // block_q, skv // block_kv),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
         out_specs=[q_spec, full_kv_spec, full_kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -367,13 +371,15 @@ def _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=(_VMEM_LIMIT_MB * 1024 * 1024
+                              if _VMEM_LIMIT_MB else None),
         ),
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
-def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
+def _bwd(q, k, v, lse, delta, do, kv_len, block_q, block_kv, interpret):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # the backward kernels hold s/p/dp/ds tiles at once; block caps tuned on
@@ -392,13 +398,13 @@ def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
         functools.partial(_bwd_dq_kernel, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, sq // block_q, skv // block_kv),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=params,
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q, k, v, do, lse, delta)
 
     # kv-major grid: scratch accumulates over q blocks (innermost)
     q_spec2 = pl.BlockSpec((1, block_q, d), lambda b, ikv, iq: (b, iq, 0))
@@ -408,7 +414,7 @@ def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
         functools.partial(_bwd_dkv_kernel, kv_len=kv_len,
                           block_kv=block_kv),
         grid=(bh, skv // block_kv, sq // block_q),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, q_spec2, lse_spec2],
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, lse_spec2, lse_spec2],
         out_specs=[kv_spec2, kv_spec2],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -420,7 +426,7 @@ def _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret):
         ],
         compiler_params=params,
         interpret=interpret,
-    )(q, k, v, o, do, lse)
+    )(q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
@@ -464,21 +470,35 @@ def _flash_core_fwd(q, k, v, kv_len, block_q, block_kv, interpret):
 # on hardware (the training shape, 3888 padded) — check_tpu_kernels.
 _FUSED_BWD_MAX_KV = 4096
 # tile caps for the fused kernel; env-overridable for on-hardware A/B runs.
-# measured on v5e (bench_train batch 16): 1024/512 = 2015 ms, 512/512 =
-# 2029 ms, 1024/1024 = VMEM OOM (20.1 M scoped)
-_FUSED_BQ = int(os.environ.get("MOTION324_FUSED_BQ", 1024))
-_FUSED_BKV = int(os.environ.get("MOTION324_FUSED_BKV", 512))
+# r4 grid on v5e (dyscene global shape, ms for fwd / fwd+bwd, all with the
+# 100 MB VMEM budget): old (1024/512, 20 MB scoped) 1.93 / 5.52; caps
+# 2048/2048 + pad-free fwd blocks -> 1.61 / 4.86 (12% step-kernel win).
+# Effective fused tiles resolve to the largest pad-free divisors under the
+# caps, e.g. (1296, 1296) at seq 3888.
+_FUSED_BQ = int(os.environ.get("MOTION324_FUSED_BQ", 2048))
+_FUSED_BKV = int(os.environ.get("MOTION324_FUSED_BKV", 2048))
 _SINGLE_KV = os.environ.get("MOTION324_SINGLE_KV", "1") != "0"
+_SINGLE_KV_MAX = 1024  # whole-KV kernel budget: (bq, skv) f32 logit tiles
+# scoped-VMEM budget for the flash kernels (MB; 0 = Mosaic default ~20 MB).
+# The pad-free blocks need the headroom; 100 MB fits v5e's 128 MB VMEM with
+# the Mosaic runtime's own reservations.
+_VMEM_LIMIT_MB = int(os.environ.get("MOTION324_FUSED_VMEM_MB", 100))
 
 
 def _flash_core_bwd(kv_len, block_q, block_kv, interpret, res, do):
     q, k, v, o, lse2 = res
     # back to the kernels' lane-replicated [bh, seq, lanes] contract
     lse = jnp.broadcast_to(lse2[..., None], lse2.shape + (_LANES,))
+    # delta = rowsum(dO * O), computed ONCE here (one fused XLA pass over
+    # (bh, sq, d)) instead of per KV tile inside the kernels — saves the
+    # redundant per-tile (bq, d) VPU reduce and drops O from the kernels'
+    # streamed inputs entirely.
+    delta2 = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta2[..., None], delta2.shape + (_LANES,))
     if k.shape[1] <= _FUSED_BWD_MAX_KV and k.shape[2] <= 128:
-        return _bwd_fused(q, k, v, o, lse, do, kv_len, block_q, block_kv,
+        return _bwd_fused(q, k, v, lse, delta, do, kv_len, block_q, block_kv,
                           interpret)
-    return _bwd(q, k, v, o, lse, do, kv_len, block_q, block_kv, interpret)
+    return _bwd(q, k, v, lse, delta, do, kv_len, block_q, block_kv, interpret)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
@@ -497,6 +517,13 @@ def _pick_block(seq: int, target: int, granule: int = 16) -> int:
     into the whole-KV single-block kernel, whose (bq, skv) f32 logit tiles
     are VMEM-budgeted for <= target.
 
+    KV second chance: when no 128-granule divisor exists, an 8-granule
+    (sublane-tileable) divisor in (target, 2*target] is taken instead —
+    e.g. KV 3888 runs pad-free at bkv 1944 rather than padding to 4096 at
+    1024, which measured 17% faster forward on v5e (grid A/B, r4): the tail
+    mask disappears and the streamed K/V bytes drop 5%. The bigger logit
+    tile rides the raised fused-kernel VMEM budget (_VMEM_LIMIT_MB).
+
     Fallback: seq >= target -> target; below that the power-of-two block
     (>= 128) whose padded length is smallest — e.g. seq 324 pads to 384 with
     blocks of 128 instead of 512 with blocks of 256.
@@ -510,6 +537,13 @@ def _pick_block(seq: int, target: int, granule: int = 16) -> int:
         if seq_g % d == 0:
             exact = d
         d += granule
+    if not exact and granule >= 128 and seq > target:
+        seq_8 = _ceil_to(seq, 8)
+        d = _ceil_to(target + 8, 8)
+        while d <= min(seq_8, 2 * target):
+            if seq_8 % d == 0:
+                exact = d  # prefer the largest pad-free block in the window
+            d += 8
     # fallback choice (old behaviour)
     if seq >= target:
         fall = target
