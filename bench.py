@@ -156,10 +156,36 @@ def main():
     }))
 
 
+def _inference_flops(b: int) -> float:
+    """Analytic forward-flop count for one batched window (``b`` clips).
+
+    XLA ``cost_analysis`` counts a ``lax.scan`` body ONCE (not x trip count),
+    so it under-reported the alternating stack 8x and DINO 12x — the r3
+    "21.9% inference MFU" was a measurement artifact. Same matmul+attention
+    accounting as scripts/bench_train.py (model/Pcd_motion.py:394-429 shapes);
+    Pallas attention flops are invisible to XLA either way.
+    """
+    C, L, H, D, mlp = 768, 324, 12, 64, 4
+    S = T * L
+    proj = 4 * 2 * b * S * C * C              # qkvo per block
+    ffn = 2 * 2 * b * S * C * C * mlp         # fc1+fc2 per block
+    attn_g = 4 * b * H * S * S * D            # QK^T + PV, global
+    attn_l = 4 * b * H * T * L * L * D
+    alt = 8 * (2 * (proj + ffn) + attn_g + attn_l)
+    toks = b * T * 257                        # DINO ViT-B, 257 tokens/frame
+    dino = 12 * (4 * 2 * toks * C * C + 2 * 2 * toks * C * C * mlp
+                 + 4 * b * T * H * 257 * 257 * D)
+    n = N_SHAPE                               # decoder: qo+ffn+head per frame
+    dec = T * (2 * 2 * b * n * C * C + 2 * 2 * b * n * C * C * mlp
+               + 2 * b * n * C * C) + 2 * 2 * b * n * C * C
+    enc = 2 * 2 * b * N_SHAPE * C * C         # shape-encoder projections
+    return float(alt + dino + dec + enc)
+
+
 def _model_only(pipeline, jax, jnp, b: int = 1):
     """Chained device-only timing of encode_shape+encode_video+decode at the
-    bench shapes (``b`` clips per program), plus MFU from the compiled XLA
-    flop counts."""
+    bench shapes (``b`` clips per program), plus MFU from an analytic flop
+    count (see :func:`_inference_flops`)."""
     r = np.random.RandomState(0)
     f32 = lambda *s: jnp.asarray(r.rand(*s).astype(np.float32))
     inputs = {
@@ -199,29 +225,7 @@ def _model_only(pipeline, jax, jnp, b: int = 1):
     tn = min(_timed(chain, 6) for _ in range(3))
     sec = max(tn - t1, 1e-9) / 5
 
-    flops = 0.0
-    try:
-        ck = pipeline.decode_chunk
-        for fn, args in (
-                (pipeline._encode_shape,
-                 (pipeline.params, inputs["ref_shape_pcd"],
-                  inputs["ref_shape_normals"], inputs["ref_shape_rgbs"])),
-                (pipeline._encode_video,
-                 (pipeline.params, video,
-                  jnp.zeros((b, 64, 768), jnp.bfloat16))),
-        ):
-            ca = fn.lower(*args).compile().cost_analysis()
-            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-            flops += float(ca.get("flops", 0))
-        dca = pipeline._decode.lower(
-            pipeline.params, jnp.zeros((b, T, 64, 768), jnp.bfloat16),
-            inputs["ref_pcd"][:, :ck], inputs["ref_normal"][:, :ck],
-            inputs["ref_rgb"][:, :ck]).compile().cost_analysis()
-        dca = dca[0] if isinstance(dca, (list, tuple)) else dca
-        flops += float(dca.get("flops", 0)) * (N_SHAPE // ck)
-    except Exception:
-        pass
-    mfu = flops / sec / PEAK_FLOPS if flops else 0.0
+    mfu = _inference_flops(b) / sec / PEAK_FLOPS
     return sec, mfu
 
 
