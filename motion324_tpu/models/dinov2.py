@@ -23,6 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from motion324_tpu.ops.attention import multi_head_attention
+from motion324_tpu.models.transformer import gelu
 
 __all__ = ["DinoViT", "IMAGENET_MEAN", "IMAGENET_STD"]
 
@@ -78,7 +79,7 @@ class _Block(nn.Module):
         else:
             h = nn.Dense(self.dim * self.mlp_ratio, use_bias=True,
                          dtype=self.dtype, name="mlp_fc1")(h)
-            h = nn.gelu(h, approximate=False)
+            h = gelu(h)
             h = nn.Dense(self.dim, use_bias=True, dtype=self.dtype,
                          name="mlp_fc2")(h)
         return x + h * ls2.astype(h.dtype)

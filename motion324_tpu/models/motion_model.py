@@ -29,8 +29,8 @@ from flax import linen as nn
 
 from motion324_tpu.models.dinov2 import DinoViT
 from motion324_tpu.models.transformer import (CrossAttentionBlock,
-                                              TransformerBlock, stack_blocks,
-                                              stack_inner)
+                                              TransformerBlock, gelu,
+                                              stack_blocks, stack_inner)
 from motion324_tpu.ops.embeddings import (
     apply_point_basis,
     point_embed_basis,
@@ -229,7 +229,7 @@ class _PointDecoderFrame(nn.Module):
                                 name="cross")(feats, tokens_t, tokens_t)
         x = nn.Dense(self.dim, dtype=self.dtype, name="head_fc1")(
             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="head_norm")(x))
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dense(3, dtype=self.dtype, name="head_fc2")(x)
         return carry, x
 
