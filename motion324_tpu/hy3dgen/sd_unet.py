@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from motion324_tpu.models.transformer import gelu
 from motion324_tpu.ops.attention import multi_head_attention
 
 __all__ = ["UNet2p5D"]
@@ -127,7 +128,7 @@ class _GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(2 * inner, dtype=self.dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        h = h * gelu(gate)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from motion324_tpu.models.transformer import gelu
 from motion324_tpu.ops.attention import multi_head_attention
 from motion324_tpu.ops.embeddings import frequency_embed
 
@@ -52,7 +53,7 @@ class _SelfAttnBlock(nn.Module):
         x = x + nn.Dense(self.width, dtype=self.dtype, name="c_proj")(out)
         h = _ln("ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="c_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="c_proj_mlp")(h)
         return x + h
 
@@ -83,7 +84,7 @@ class _CrossAttnBlock(nn.Module):
         h = _ln("ln_3")(x)
         h = nn.Dense(self.mlp_expand * self.width, dtype=self.dtype,
                      name="c_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="c_proj_mlp")(h)
         return x + h
 
