@@ -31,9 +31,16 @@ __all__ = ["folded_attention"]
 
 NEG_INF = -1e30
 # images (batch rows) per grid step; fwd A/B on hardware: bi=2 best (bi=4
-# exceeds scoped VMEM at the DINO shapes); backward holds ~4 extra f32
-# logit tiles so it runs at bi=1
+# exceeds scoped VMEM at the DINO shapes). The backward holds two f32 KV
+# scratches + live logit tiles, so it needs a raised vmem_limit; hardware A/B
+# at the local-frame shapes (b=24, s=336): bi=1 0.981 ms, bi=2 0.821,
+# bi=4 0.813 (best), bi=8 0.899 — all bit-identical.
 _FWD_BI = int(os.environ.get("MOTION324_FOLDED_BI", 2))
+_BWD_BI = int(os.environ.get("MOTION324_FOLDED_BWD_BI", 4))
+# est() underestimates the compiler's true stack need by ~35% (measured:
+# est 48.9 MB -> 65.9 MB actual at bi=4, local shapes), so the pallas_call
+# gets a 96 MB vmem_limit while est() is budgeted at 56 MB
+_BWD_VMEM_MB = 56
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -190,12 +197,12 @@ def _folded_core_bwd(heads, hd, kv_len, bi, bq, interpret, res, do):
         return bi_ * (dense + 2 * sk * c * 4 + 2 * bq_ * sk * 4)
 
     bq = _pick_div(sq, min(bq, 512))
-    bbi = max(bi // 2, 1)
+    bbi = max(_BWD_BI, 1)
     while b % bbi:
         bbi //= 2
-    while bbi > 1 and est(bbi, bq) > 8 * 1024 * 1024:
+    while bbi > 1 and est(bbi, bq) > _BWD_VMEM_MB * 1024 * 1024:
         bbi //= 2
-    while bq > 112 and est(1, bq) > 8 * 1024 * 1024:
+    while bq > 112 and est(1, bq) > _BWD_VMEM_MB * 1024 * 1024:
         bq = _pick_div(sq, bq - 16)
     spec = pl.BlockSpec((bbi, bq, c), lambda i, iq: (i, iq, 0))
     kspec = pl.BlockSpec((bbi, sk, c), lambda i, iq: (i, 0, 0))
@@ -211,7 +218,8 @@ def _folded_core_bwd(heads, hd, kv_len, bi, bq, interpret, res, do):
         scratch_shapes=[pltpu.VMEM((bbi, sk, c), jnp.float32),
                         pltpu.VMEM((bbi, sk, c), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, o, do, lse)
     return dq, dk, dv
