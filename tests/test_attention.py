@@ -200,10 +200,11 @@ def test_folded_forward_matches_reference(sq, sk):
                                atol=2e-5, rtol=2e-5)
 
 
-def test_folded_gradients_match_reference():
+@pytest.mark.parametrize("b", [2, 4])  # b=4 exercises the bbi=4 backward grid
+def test_folded_gradients_match_reference(b):
     from motion324_tpu.ops.folded_attention import folded_attention
     kq, kk, kv, kg = jax.random.split(jax.random.PRNGKey(6), 4)
-    b, h, sq, sk, d = 2, 3, 257, 324, 32
+    h, sq, sk, d = 3, 257, 324, 32
     q = _rand(kq, (b, h, sq, d))
     k = _rand(kk, (b, h, sk, d))
     v = _rand(kv, (b, h, sk, d))
