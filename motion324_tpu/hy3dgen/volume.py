@@ -103,6 +103,32 @@ def _dilate(mask: np.ndarray, iterations: int) -> np.ndarray:
     return m
 
 
+def _shell_indices_numpy(volume: np.ndarray, band: float, iters: int,
+                         sort_grid: int) -> np.ndarray:
+    """Numpy reference for :func:`native.shell_indices` (also the fallback):
+    flat indices of the dilated ``|v| < band`` shell, stable-sorted by
+    ``sort_grid``^3 spatial cell (``sort_grid=1`` = plain argwhere order)."""
+    r = volume.shape[0]
+    mask = np.abs(volume) < band
+    mask = _dilate(mask, iters)
+    idx = np.argwhere(mask).astype(np.int32)
+    if sort_grid > 1 and len(idx):
+        cell = idx * sort_grid // r
+        key = (cell[:, 0] * sort_grid + cell[:, 1]) * sort_grid + cell[:, 2]
+        idx = idx[np.argsort(key, kind="stable")]
+    return ((idx[:, 0].astype(np.int64) * r + idx[:, 1]) * r
+            + idx[:, 2]).astype(np.int32)
+
+
+def _shell_indices(volume: np.ndarray, band: float, iters: int,
+                   sort_grid: int) -> np.ndarray:
+    from motion324_tpu import native
+    out = native.shell_indices(volume, band, iters, sort_grid)
+    if out is not None:  # C++: one pass, ~0.5 s at 385^3 (the numpy chain's
+        return out       # 57 MB temporaries swing 2.5-6 s under allocator
+    return _shell_indices_numpy(volume, band, iters, sort_grid)  # pressure)
+
+
 def _lerp_last(a: np.ndarray, f: int) -> np.ndarray:
     """Upsample the LAST axis by integer factor ``f`` with edge-aligned
     linear interpolation: n points -> (n-1)*f + 1. Contiguous last-axis
@@ -168,21 +194,17 @@ def decode_volume_hierarchical(query_fn, params, processed_latents,
     fine_init = _host_trilinear(coarse, r)
 
     # near-surface selection on the upsampled field itself (no grid-alignment
-    # bookkeeping), dilated by one coarse cell of fine voxels
-    mask = np.abs(fine_init) < band
-    # the band is measured on the UPSAMPLED field, so the true surface is
-    # within ~half a coarse cell of it; dilate by that margin
-    mask = _dilate(mask, max(coarse_factor // 2, 1))
-
-    idx = np.argwhere(mask)
-    if len(idx) == 0:
+    # bookkeeping), dilated by one coarse cell of fine voxels: the band is
+    # measured on the UPSAMPLED field, so the true surface is within ~half a
+    # coarse cell of it. One fused host pass (C++ when built).
+    flat = _shell_indices(fine_init, band, max(coarse_factor // 2, 1), 1)
+    if len(flat) == 0:
         return fine_init
     # upload PACKED int32 flat indices (4 B/pt instead of 12 B of f32 coords);
     # coordinates regenerate on device
-    flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]
     logits = _refine_indices(query_fn, params, processed_latents,
-                             flat.astype(np.int32), r, float(box_v), chunk)
-    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits[:len(idx)]
+                             flat, r, float(box_v), chunk)
+    fine_init.reshape(-1)[flat] = logits[:len(flat)]
     return fine_init
 
 
@@ -243,26 +265,19 @@ def decode_volume_flashvdm(vae, params, processed_latents,
     r = resolution + 1
     fine_init = _host_trilinear(coarse, r)  # see decode_volume_hierarchical
 
-    mask = np.abs(fine_init) < band
-    mask = _dilate(mask, max(coarse_factor // 2, 1))
-    idx = np.argwhere(mask)
-    if len(idx) == 0:
+    # shell selection + mini-grid reordering (sort near-surface points by
+    # spatial cell so each fixed chunk's probes agree on which latents
+    # matter) in ONE fused host pass — C++ counting sort when built, the
+    # numpy mask/dilate/argwhere/radix-argsort chain otherwise.
+    flat = _shell_indices(fine_init, band, max(coarse_factor // 2, 1),
+                          sort_grid)
+    if len(flat) == 0:
         return fine_init
-    # mini-grid reordering: sort near-surface points by spatial cell so each
-    # fixed chunk's probes agree on which latents matter. int32 keys take
-    # numpy's radix path (int64 stable-sorts via mergesort: 4.7 s at 4M
-    # points vs ~0.3 s here); idx columns are cast once for the same reason.
-    idx = idx.astype(np.int32)
-    cell = idx * sort_grid // r
-    key = (cell[:, 0] * sort_grid + cell[:, 1]) * sort_grid + cell[:, 2]
-    idx = idx[np.argsort(key, kind="stable")]
 
     # packed flat-index upload + on-device coordinates (see _refine_indices)
-    flat = (idx[:, 0] * r + idx[:, 1]) * r + idx[:, 2]
     logits = _refine_indices(_ft_partial_topk(vae, topk), params,
-                             processed_latents, flat.astype(np.int32), r,
-                             float(box_v), chunk)
-    fine_init[idx[:, 0], idx[:, 1], idx[:, 2]] = logits[:len(idx)]
+                             processed_latents, flat, r, float(box_v), chunk)
+    fine_init.reshape(-1)[flat] = logits[:len(flat)]
     return fine_init
 
 

@@ -17,12 +17,12 @@ import numpy as np
 
 __all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
            "marching_cubes", "qem_simplify", "build_hierarchy",
-           "trilinear_upsample"]
+           "trilinear_upsample", "shell_indices"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
 _SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp", "qem_simplify.cpp",
-            "grid_hierarchy.cpp", "trilinear.cpp"]
+            "grid_hierarchy.cpp", "trilinear.cpp", "shell.cpp"]
 _lib = None
 _build_failed = False
 
@@ -353,3 +353,41 @@ def trilinear_upsample(coarse: np.ndarray, factor: int) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+# --------------------------------------------------------------------------- #
+# near-surface shell extraction (FlashVDM refinement index set)
+# --------------------------------------------------------------------------- #
+def shell_indices(volume: np.ndarray, band: float, iters: int,
+                  sort_grid: int) -> np.ndarray | None:
+    """Flat voxel indices of ``|volume| < band`` after cross-dilation, ordered
+    by ``sort_grid``^3 spatial cell (stable within a cell) — one C++ pass
+    replacing the numpy mask/dilate/argwhere/argsort chain whose temporaries
+    swing 2.5-6 s at 385^3 under allocator pressure. ``sort_grid=1`` keeps
+    plain lexicographic (argwhere) order. Returns None when the native
+    library is unavailable (callers fall back to
+    :func:`motion324_tpu.hy3dgen.volume._shell_indices_numpy`, the oracle).
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "shell_indices"):
+        return None
+    volume = np.ascontiguousarray(volume, np.float32)
+    r = volume.shape[0]
+    if volume.shape != (r, r, r):
+        raise ValueError(f"volume must be cubic, got {volume.shape}")
+    p = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    cap = max(r * r * 8, 1 << 16)
+    for _ in range(2):
+        out = np.empty(cap, np.int32)
+        n = ctypes.c_int64(0)
+        rc = lib.shell_indices(p(volume), ctypes.c_int32(r),
+                               ctypes.c_float(band), ctypes.c_int32(iters),
+                               ctypes.c_int32(sort_grid), p(out),
+                               ctypes.c_int64(cap), ctypes.byref(n))
+        if rc == 0:
+            return out[:n.value].copy()
+        if rc == 3:
+            cap = n.value
+            continue
+        return None
+    return None

@@ -252,3 +252,34 @@ def test_build_hierarchy_corner_padding():
     has_odd[ds[od]] = True
     assert has_even.all()
     assert has_odd.all()
+
+
+@pytest.mark.parametrize("iters,grid", [(0, 1), (1, 1), (2, 8), (2, 3)])
+def test_shell_indices_matches_numpy(iters, grid):
+    """C++ fused shell extraction == the numpy mask/dilate/argwhere/argsort
+    chain, element-for-element (order included)."""
+    from motion324_tpu import native
+    from motion324_tpu.hy3dgen.volume import _shell_indices_numpy
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    for r in (9, 33):
+        vol = rng.normal(size=(r, r, r)).astype(np.float32)
+        ref = _shell_indices_numpy(vol, 0.5, iters, grid)
+        out = native.shell_indices(vol, 0.5, iters, grid)
+        assert out is not None
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_shell_indices_empty_and_full():
+    from motion324_tpu import native
+    from motion324_tpu.hy3dgen.volume import _shell_indices_numpy
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    vol = np.full((7, 7, 7), 10.0, np.float32)
+    assert len(native.shell_indices(vol, 0.5, 2, 8)) == 0
+    # everything in band at r=48: n=110592 exceeds the initial 65536-slot
+    # capacity, exercising the rc=3 retry path
+    vol = np.zeros((48, 48, 48), np.float32)
+    out = native.shell_indices(vol, 0.5, 0, 4)
+    np.testing.assert_array_equal(out, _shell_indices_numpy(vol, 0.5, 0, 4))
