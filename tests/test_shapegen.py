@@ -339,3 +339,20 @@ def test_host_trilinear_node_aligned():
     np.testing.assert_allclose(fast, ref, atol=2e-6)
     # coarse nodes reproduce exactly
     np.testing.assert_allclose(fast[::4, ::4, ::4], coarse, atol=0)
+
+
+def test_flashvdm_numpy_shell_fallback(monkeypatch):
+    """With the native library unavailable, _shell_indices must route through
+    the numpy oracle and produce the identical decode."""
+    from motion324_tpu import native
+    from motion324_tpu.hy3dgen.volume import decode_volume_flashvdm
+    vae = ShapeVAE(num_latents=16, embed_dim=8, width=32, heads=4,
+                   num_decoder_layers=1)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 8))
+    params = vae.init(jax.random.PRNGKey(2), lat, jnp.zeros((1, 4, 3)))
+    processed = vae.apply(params, lat, method=ShapeVAE.decode)
+    kw = dict(resolution=24, box_v=1.0, chunk=512, topk=16)
+    a = decode_volume_flashvdm(vae, params, processed, **kw)
+    monkeypatch.setattr(native, "shell_indices", lambda *a, **k: None)
+    b = decode_volume_flashvdm(vae, params, processed, **kw)
+    np.testing.assert_array_equal(a, b)
