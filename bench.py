@@ -20,7 +20,12 @@ go to stderr:
     windows, frames/s);
   - model-only device seconds per clip (chained-iteration methodology:
     ``block_until_ready`` does not synchronise on tunneled backends) and
-    inference MFU from the compiled programs' XLA flop counts.
+    inference MFU from the compiled programs' XLA flop counts;
+  - real-segmentation cost (a randomly-initialised U2Net over one clip) —
+    bounds the headline's segmentation-fallback caveat (see README).
+
+All secondaries are also persisted as ``BENCH_extra.json`` next to this file
+so each round's record is structured, not stderr-only.
 """
 
 import json
@@ -65,6 +70,7 @@ def main():
     from motion324_tpu.inference.pipeline import MotionPipeline
     from motion324_tpu.models.motion_model import ModelConfig, MotionLatentModel
 
+    extra = {}  # secondary metrics, persisted to BENCH_extra.json at the end
     mesh_path, video_path = ensure_assets()
     # decode all 32 window frames in one decoder step (inference is
     # forward-only; the per-frame scan was dispatch-overhead-bound)
@@ -110,6 +116,9 @@ def main():
     log(f"e2e per 32-frame clip over {len(times)} runs: p50 {e2e:.3f}s  "
         f"p90 {p90:.3f}s  min {min(times):.3f}s  max {max(times):.3f}s  "
         f"(spread is host-load-sensitive; see module docstring)")
+    extra["e2e_sec"] = {"p50": round(e2e, 3), "p90": round(p90, 3),
+                        "min": round(min(times), 3),
+                        "max": round(max(times), 3), "runs": len(times)}
 
     # ---- secondary: long-video sliding-window throughput -------------------
     try:
@@ -119,6 +128,8 @@ def main():
         dt = time.perf_counter() - t0
         log(f"long-video: 128 frames via 32-frame sliding windows in "
             f"{dt:.2f}s ({128 / dt:.1f} frames/s e2e)")
+        extra["long_video_128f"] = {"sec": round(dt, 2),
+                                    "frames_per_s": round(128 / dt, 1)}
     except Exception as e:
         log(f"long-video bench skipped: {e}")
 
@@ -126,16 +137,36 @@ def main():
     # compiled during warm-up above) ------------------------------------
     try:
         yt = [_timed(yuv_run) for _ in range(5)]
-        log(f"--yuv-upload A/B: p50 {float(np.percentile(yt, 50)):.3f}s over "
+        yuv_p50 = float(np.percentile(yt, 50))
+        log(f"--yuv-upload A/B: p50 {yuv_p50:.3f}s over "
             f"{len(yt)} runs (vs {e2e:.3f}s RGB wire; upload 2.4 vs 4.8 MB)")
+        extra["yuv_upload_p50_sec"] = round(yuv_p50, 3)
     except Exception as e:
         log(f"yuv A/B skipped: {e}")
+
+    # ---- secondary: real-segmentation cost (headline caveat) ---------------
+    # The in-graph segmentation in the headline runs is the border-statistics
+    # fallback (no U2Net weights exist in this environment). Quantify the
+    # caveat: device seconds for a REAL (randomly-initialised) U2Net forward
+    # over one 32-frame clip at the pipeline's 224^2 working resolution —
+    # the upper bound on what the headline gains if the fallback is swapped
+    # for the real network.
+    try:
+        seg_sec = _u2net_cost(jax, jnp)
+        log(f"real-segmentation cost: U2Net (bf16, random init) over a "
+            f"{T}x224^2 clip: {seg_sec:.3f}s device "
+            f"(headline delta bound if the border fallback were the real net)")
+        extra["u2net_seg_sec_per_clip"] = round(seg_sec, 3)
+    except Exception as e:
+        log(f"u2net cost bench skipped: {e}")
 
     # ---- secondary: device-only model seconds + MFU ------------------------
     try:
         model_sec, mfu = _model_only(pipeline, jax, jnp)
         log(f"model-only device sec/clip: {model_sec:.3f}  "
             f"inference MFU: {mfu * 100:.1f}%")
+        extra["model_only"] = {"sec_per_clip": round(model_sec, 3),
+                               "mfu_pct": round(mfu * 100, 1)}
     except Exception as e:  # never fail the primary metric
         log(f"model-only bench skipped: {e}")
 
@@ -145,8 +176,18 @@ def main():
             sec, mfu = _model_only(pipeline, jax, jnp, b=b)
             log(f"batched clips (B={b}): device {sec:.3f}s/window = "
                 f"{b / sec:.1f} clips/s  MFU {mfu * 100:.1f}%")
+            extra[f"batched_B{b}"] = {"sec_per_window": round(sec, 3),
+                                      "clips_per_s": round(b / sec, 1),
+                                      "mfu_pct": round(mfu * 100, 1)}
     except Exception as e:
         log(f"batched throughput bench skipped: {e}")
+
+    try:  # structured copy of the stderr secondaries for the record
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_extra.json"), "w") as f:
+            json.dump(extra, f, indent=1)
+    except OSError as e:
+        log(f"BENCH_extra.json not written: {e}")
 
     print(json.dumps({
         "metric": "e2e_sec_per_32frame_clip",
@@ -180,6 +221,28 @@ def _inference_flops(b: int) -> float:
                + 2 * b * n * C * C) + 2 * 2 * b * n * C * C
     enc = 2 * 2 * b * N_SHAPE * C * C         # shape-encoder projections
     return float(alt + dino + dec + enc)
+
+
+def _u2net_cost(jax, jnp):
+    """Chained device timing of one U2Net forward over a (T, 224, 224, 3)
+    clip — same serialisation trick as :func:`_model_only` (tunneled backends
+    don't synchronise on ``block_until_ready``)."""
+    from motion324_tpu.inference.segmentation import U2Net
+    net = U2Net(dtype=jnp.bfloat16)
+    x = jnp.zeros((T, 224, 224, 3), jnp.bfloat16)
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), x[:1])
+    fwd = jax.jit(net.apply)
+
+    def chain(n):
+        s = jnp.float32(0.0)
+        for _ in range(n):
+            s = fwd(params, x + s.astype(x.dtype) * 0).mean()
+        return float(s)
+
+    chain(1)  # compile
+    t1 = min(_timed(chain, 1) for _ in range(2))
+    tn = min(_timed(chain, 4) for _ in range(2))
+    return max(tn - t1, 0.0) / 3
 
 
 def _model_only(pipeline, jax, jnp, b: int = 1):
