@@ -100,6 +100,8 @@ class ModelConfig:
             n_alternating_layers=m.n_alternating_layers, head_dim=m.head_dim,
             use_qk_norm=m.use_qk_norm, drop_rate=m.get("drop_rate", 0.1),
             image_size=m.get("image_size", 224), patch_size=m.get("patch_size", 14),
+            dino_depth=int(m.get("dino_depth", 12)),
+            dino_heads=int(m.get("dino_heads", 12)),
             frames=cfg.training.frames, dtype=dt,
             decode_frames_chunk=int(cfg.training.get("decode_frames_chunk", 1)),
             remat=cfg.training.get("remat", False) if remat is None else remat,

@@ -65,19 +65,47 @@ class Trainer:
         self.data_iter = data_iter
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.get_path("mesh.dp", -1), cfg.get_path("mesh.mp", 1))
-        self.model = model if model is not None else MotionLatentModel(
-            ModelConfig.from_config(cfg))
+        # training.parallel_mode selects the step builder: 'shard_map'
+        # (default, DDP analogue), 'gspmd' (tensor parallel over mp), or
+        # 'pp' (GPipe over mp) — see build_train_step. For 'pp' the model
+        # must carry the stage fields, so it is derived here when the
+        # trainer builds the model itself.
+        self.mode = str(cfg.training.get("parallel_mode", "shard_map"))
         self.accum = int(cfg.training.get("grad_accum_steps", 1))
+        if self.mode != "shard_map" and self.accum > 1:
+            raise ValueError(
+                f"training.parallel_mode={self.mode!r} does not implement "
+                "micro-batch accumulation; set training.grad_accum_steps=1")
+        if model is not None:
+            self.model = model
+        else:
+            mcfg = ModelConfig.from_config(cfg)
+            if self.mode == "pp":
+                import dataclasses
+                mcfg = dataclasses.replace(
+                    mcfg, pp_axis="mp", pp_size=int(self.mesh.shape["mp"]),
+                    pp_microbatches=int(
+                        cfg.training.get("pp_microbatches", 1)))
+            self.model = MotionLatentModel(mcfg)
         self.ckpt_dir = cfg.training.checkpoint_dir
         self.rng = jax.random.PRNGKey(cfg.training.get("seed", 0))
 
         tx, self.schedule = create_optimizer(cfg)
         self.tx = tx
-        self.step_fn = build_train_step(self.model, tx, cfg, self.mesh)
+        self.step_fn = build_train_step(self.model, tx, cfg, self.mesh,
+                                        mode=self.mode)
         self._sharding = batch_sharding(self.mesh)
 
     def init_state(self, example_batch) -> TrainState:
-        params = jax.jit(self.model.init)(jax.random.PRNGKey(
+        # a pp-staged model calls lax.axis_index in __call__, which only
+        # exists under shard_map — initialise with a plain twin (identical
+        # param tree: pp shards the already-stacked layer axis at runtime)
+        model = self.model
+        if getattr(model.cfg, "pp_axis", None):
+            import dataclasses
+            model = MotionLatentModel(dataclasses.replace(
+                model.cfg, pp_axis=None, pp_size=1, pp_microbatches=1))
+        params = jax.jit(model.init)(jax.random.PRNGKey(
             self.cfg.training.get("seed", 0) + 1), example_batch)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
         log(f"model initialised: {n_params/1e6:.2f}M params")
@@ -116,6 +144,11 @@ class Trainer:
             state, resumed = auto_resume(self.ckpt_dir, state)
             if resumed:
                 log(f"resumed from {resumed} at step {int(state.step)}")
+        # gspmd/pp steps publish their parameter shardings; place the state
+        # accordingly (layer-axis over stages for pp, TP shards for gspmd)
+        shard_of = getattr(self.step_fn, "state_shardings", None)
+        if shard_of is not None:
+            state = jax.device_put(state, shard_of(state))
 
         os.makedirs(self.ckpt_dir, exist_ok=True)
         if jax.process_index() == 0:

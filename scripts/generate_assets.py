@@ -21,16 +21,34 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def greedy_shards(items_with_cost: list[tuple[str, int]], n_shards: int):
+def greedy_shards(items_with_cost: list[tuple], n_shards: int):
     """Greedy balanced assignment: heaviest first onto the lightest shard
-    (reference hunyuan_Gen.py:126-137)."""
-    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    (reference hunyuan_Gen.py:126-137). Items are opaque; cost is the
+    second tuple element."""
+    shards: list[list] = [[] for _ in range(n_shards)]
     loads = [0] * n_shards
     for item, cost in sorted(items_with_cost, key=lambda x: -x[1]):
         i = loads.index(min(loads))
         shards[i].append(item)
         loads[i] += cost
     return shards
+
+
+def scan_jobs(input_root: str, skip: int):
+    """``(frame paths, clip length)`` per ``*_processed/masked_rgb`` clip —
+    every ``skip``'th frame of each clip gets its own generation job
+    (reference hunyuan_Gen.py:180); cost for shard balancing is the clip's
+    full frame count."""
+    jobs = []
+    for name in sorted(os.listdir(input_root)):
+        rgb_dir = os.path.join(input_root, name, "masked_rgb")
+        if os.path.isdir(rgb_dir):
+            frames = sorted(os.listdir(rgb_dir))
+            picked = [os.path.join(rgb_dir, f)
+                      for i, f in enumerate(frames) if i % skip == 0]
+            if picked:
+                jobs.append((tuple(picked), len(frames)))
+    return jobs
 
 
 def main(argv=None):
@@ -43,6 +61,13 @@ def main(argv=None):
     p.add_argument("--octree-resolution", type=int, default=384)
     p.add_argument("--max-faces", type=int, default=40000)
     p.add_argument("--texture", action="store_true")
+    p.add_argument("--skip", type=int, default=256,
+                   help="generate a mesh for every N-th frame of each job "
+                        "(reference hunyuan_Gen.py:98,180 — frame 0 only at "
+                        "the default when clips are shorter than N)")
+    p.add_argument("--seed", type=int, default=42,
+                   help="diffusion sampling seed, re-applied per image "
+                        "(reference hunyuan_Gen.py:97,194)")
     p.add_argument("--mv", action="store_true",
                    help="multiview conditioning: each job dir provides a "
                         "views/ folder with front/left/back/right images "
@@ -63,13 +88,15 @@ def main(argv=None):
     from motion324_tpu.io.glb import export_glb
     from motion324_tpu.utils.logging import log
 
-    jobs = []
+    jobs = []  # (frame paths for one clip — every --skip'th frame, cost)
     for name in sorted(os.listdir(args.input_root)):
         rgb_dir = os.path.join(args.input_root, name, "masked_rgb")
         if os.path.isdir(rgb_dir):
             frames = sorted(os.listdir(rgb_dir))
-            if frames:
-                jobs.append((os.path.join(rgb_dir, frames[0]), len(frames)))
+            picked = [os.path.join(rgb_dir, f)
+                      for i, f in enumerate(frames) if i % args.skip == 0]
+            if picked:
+                jobs.append((tuple(picked), len(frames)))
     if not jobs:
         log(f"no *_processed/masked_rgb jobs under {args.input_root}")
         return 1
@@ -96,8 +123,11 @@ def main(argv=None):
         return found
     painter = PaintPipeline() if args.texture else None
     os.makedirs(args.output, exist_ok=True)
-    for img_path in mine:
+    work = [(p, len(fp) > 1) for fp in mine for p in fp]
+    for img_path, multi_frame in work:
         stem = img_path.split(os.sep)[-3].replace("_processed", "")
+        if multi_frame:  # one mesh per selected frame
+            stem += "_" + os.path.splitext(os.path.basename(img_path))[0]
         image = _load(img_path)
         if args.mv:
             views = _mv_views(img_path)
@@ -108,7 +138,8 @@ def main(argv=None):
         else:
             cond_input = image
         mesh = pipe(cond_input, num_inference_steps=args.steps,
-                    octree_resolution=args.octree_resolution)
+                    octree_resolution=args.octree_resolution,
+                    seed=args.seed)
         if not len(mesh.faces):
             log(f"{stem}: empty mesh, skipping")
             continue

@@ -255,6 +255,70 @@ def test_trainer_loop_end_to_end(tmp_path):
     assert int(state2.step) == 3
 
 
+@pytest.mark.parametrize("mode", ["gspmd", "pp"])
+def test_trainer_parallel_mode_from_config(tmp_path, mode):
+    """training.parallel_mode plumbs through the Trainer: the trainer builds
+    the model itself (pp stage fields derived from the mesh), places the
+    state per step_fn.state_shardings, and steps on a dp4 x mp2 mesh."""
+    from motion324_tpu.training.trainer import Trainer
+
+    cfg = load_config("configs/dyscene.yaml", [
+        f"training.parallel_mode={mode}",
+        "training.grad_accum_steps=1",
+        "training.pp_microbatches=2",
+        "training.train_steps=2",
+        "training.warmup=1",
+        f"training.checkpoint_dir={tmp_path}/ckpt",
+        "training.checkpoint_every=100",
+        "training.log_every=1",
+        "training.print_every=100",
+        # tiny model dims via config (the trainer must build the model for
+        # pp so it can derive the stage fields)
+        # 4 alternating layers = 2 (global, local) pairs -> one pair per
+        # pp stage on the mp=2 mesh
+        "model.feat_dim=48", "model.tokens=4", "model.pcd_layers=1",
+        "model.n_alternating_layers=4", "model.head_dim=12",
+        "model.dino_depth=1", "model.dino_heads=3",
+        "model.image_size=28", "model.patch_size=14", "model.drop_rate=0.0",
+        "training.frames=2", "training.remat=false",
+    ])
+    mesh = make_mesh(dp=4, mp=2)
+
+    def batches():
+        r = np.random.RandomState(0)
+        while True:
+            b = 8  # dp 4 x 2/device (pp needs per-device batch divisible
+                   # by pp_microbatches)
+            yield {
+                "ref_shape_pcd": r.randn(b, 32, 3).astype(np.float32) * 0.3,
+                "ref_shape_normals": r.randn(b, 32, 3).astype(np.float32),
+                "ref_shape_rgbs": r.rand(b, 32, 3).astype(np.float32),
+                "ref_pcd": r.randn(b, 16, 3).astype(np.float32) * 0.3,
+                "ref_normal": r.randn(b, 16, 3).astype(np.float32),
+                "ref_rgb": r.rand(b, 16, 3).astype(np.float32),
+                "rgb_video": r.rand(b, 2, 28, 28, 3).astype(np.float32),
+                "point_clouds": r.randn(b, 2, 16, 3).astype(np.float32) * 0.3,
+            }
+
+    trainer = Trainer(cfg, batches(), mesh=mesh)
+    if mode == "pp":
+        assert trainer.model.cfg.pp_axis == "mp"
+        assert trainer.model.cfg.pp_size == 2
+    state = trainer.train(max_steps=2)
+    assert int(state.step) == 2
+
+
+def test_trainer_parallel_mode_rejects_accumulation(tmp_path):
+    from motion324_tpu.training.trainer import Trainer
+
+    cfg = load_config("configs/dyscene.yaml", [
+        "training.parallel_mode=gspmd", "training.grad_accum_steps=2",
+        f"training.checkpoint_dir={tmp_path}/ckpt",
+    ])
+    with pytest.raises(ValueError, match="accumulation"):
+        Trainer(cfg, iter([]), mesh=make_mesh(dp=4, mp=2))
+
+
 def test_invalid_grad_accum_dtype_rejected(_shared):
     cfg, mesh, model, _, _, tx, _ = _shared
     import copy
