@@ -173,9 +173,17 @@ def collate(samples: list[dict]) -> dict:
     """Stack numeric keys into (B, ...) arrays; keep strings as lists.
 
     Raises with a per-key shape diagnostic on mismatch (reference
-    dataset/dyscene.py:331-383)."""
+    dataset/dyscene.py:331-383). An optional per-sample ``edge_indices``
+    (2, E) graph is batched as one disjoint graph: each sample's node ids
+    shift by its offset in the batch (node count = ``point_clouds`` points)
+    and the edge lists concatenate to (2, B*E) (reference :368-381)."""
     out: dict = {}
     for key in samples[0]:
+        if key == "edge_indices":
+            n = samples[0]["point_clouds"].shape[1]
+            out[key] = np.concatenate(
+                [s[key] + i * n for i, s in enumerate(samples)], axis=1)
+            continue
         vals = [s[key] for s in samples]
         if isinstance(vals[0], np.ndarray):
             shapes = {v.shape for v in vals}

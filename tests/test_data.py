@@ -149,3 +149,21 @@ def test_collate_shape_mismatch_diagnostic():
     b = {"x": np.zeros((2, 4))}
     with pytest.raises(ValueError, match="mismatched shapes"):
         collate([a, b])
+
+
+def test_collate_edge_indices_disjoint_graph():
+    """Optional (2, E) per-sample edge lists batch as one disjoint graph:
+    node ids offset by point_clouds' N per sample, edges concatenated to
+    (2, B*E) (reference dataset/dyscene.py:368-381)."""
+    def sample(seed):
+        r = np.random.RandomState(seed)
+        return {"point_clouds": r.randn(4, 16, 3).astype(np.float32),
+                "edge_indices": np.array([[0, 1, 15], [1, 2, 0]], np.int64)}
+
+    out = collate([sample(0), sample(1), sample(2)])
+    assert out["edge_indices"].shape == (2, 9)
+    np.testing.assert_array_equal(out["edge_indices"][:, 3:6],
+                                  [[16, 17, 31], [17, 18, 16]])
+    np.testing.assert_array_equal(out["edge_indices"][:, 6:],
+                                  [[32, 33, 47], [33, 34, 32]])
+    assert out["point_clouds"].shape == (3, 4, 16, 3)
