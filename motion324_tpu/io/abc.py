@@ -35,7 +35,12 @@ top of the container, written here to the published AbcCoreOgawa layout:
     [1..n] group: child objects
     [last] data : child-object headers — per child:
                   uint32 name_len + name + uint8 metadata_index
-                  (0xff = inline: uint32 len + bytes)
+                  (0xff = inline: uint32 len + bytes) —
+                  followed by a 32-byte trailer: the object's
+                  [properties hash | children hash], 16 bytes each
+                  (AbcCoreOgawa exposes these as getPropertiesHash /
+                  getChildrenHash; readers parse headers from
+                  [0, size-32))
 
   compound property group:
     [0..m-1] group: one per sub-property (compound -> same layout;
@@ -51,10 +56,20 @@ top of the container, written here to the published AbcCoreOgawa layout:
                6 has explicit time-sampling index; 8-15 extent.
 
   scalar/array property group: one data blob per sample =
-    16-byte sample key (hash of payload; Alembic uses SpookyHash/murmur —
-    ours is md5-16, documented) + raw little-endian payload. Array samples
-    of rank > 1 are followed by a dims data (uint64 per dim); rank-1 dims
-    are derived from the byte size, as in AbcCoreOgawa.
+    16-byte sample key + raw little-endian payload. The key is
+    **MurmurHash3_x64_128(payload, seed=POD byte size)** — the hash
+    Alembic >= 1.5 computes in ArraySample::getKey (our implementation is
+    golden-tested against the canonical MurmurHash3.cpp,
+    tests/test_hashes.py). Array samples of rank > 1 are followed by a
+    dims data (uint64 per dim); rank-1 dims are derived from the byte
+    size, as in AbcCoreOgawa.
+
+  Hash trailer values: the 16-byte properties/children hashes in the
+  object trailer are SpookyHash-V2 digests (the algorithm AbcCoreOgawa
+  uses) over this writer's serialized header blobs; Alembic's own trailer
+  values come from a recursive per-sample accumulation we do not
+  replicate, but readers treat these digests as OPAQUE identity tokens
+  (archive-diffing), so only presence + size are load-bearing.
 
 The animated mesh is written as the AbcGeom PolyMesh schema property set:
 object "mesh" with compound ".geom" holding time-sampled "P" (float32x3),
@@ -65,16 +80,18 @@ VALIDATION BOUNDARY (honest): this environment has no Alembic library, no
 Blender, and no egress, so byte-level acceptance by external readers cannot
 be tested here; the layout above follows the published AbcCoreOgawa
 structure, and :func:`read_abc` is an INDEPENDENT parser (container +
-archive layer) used by the round-trip tests. First action when an Alembic
-reader is available: open a written file and fix any divergence.
+archive layer) used by the round-trip tests. A conformance corpus of tiny
+golden archives plus the first-contact validation checklist lives in
+``tests/goldens/`` (see ``tests/goldens/FIRST_CONTACT.md``).
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 
 import numpy as np
+
+from ..native import murmur3_x64_128, spooky_hash128
 
 __all__ = ["export_animated_abc", "read_abc"]
 
@@ -126,8 +143,13 @@ class _Writer:
         return header + b"".join(self.parts)
 
 
-def _key(payload: bytes) -> bytes:
-    return hashlib.md5(payload).digest()  # 16-byte sample key (see docstring)
+# bytes per element of each PlainOldDataType we write — the murmur seed
+# Alembic uses for sample keys (ArraySample::getKey seeds with PODNumBytes)
+_POD_BYTES = {POD_INT32: 4, POD_FLOAT32: 4, POD_FLOAT64: 8}
+
+
+def _key(payload: bytes, pod: int) -> bytes:
+    return murmur3_x64_128(payload, seed=_POD_BYTES[pod])
 
 
 def _name_meta(name: str, meta: str, meta_index: dict) -> bytes:
@@ -166,7 +188,7 @@ class _Prop:
         entries = []
         for s in self.samples:
             payload = np.ascontiguousarray(s).tobytes()
-            entries.append(w.data(_key(payload) + payload))
+            entries.append(w.data(_key(payload, self.pod) + payload))
             if s.ndim > 1 and self.ptype == PTYPE_ARRAY:
                 # rank-1 dims are size-derived; higher ranks get a dims blob
                 pass  # our schema writes flat (N*extent,) arrays: rank 1
@@ -228,16 +250,24 @@ def export_animated_abc(path: str, vertices, faces, trajectories=None,
     top_props = _Prop("", PTYPE_COMPOUND)
     top_props.add(geom)
 
-    # mesh object group: [.prop group, child-headers data]
+    # mesh object group: [.prop group, child-headers data]. The headers
+    # data ends with the 32-byte [properties|children] spooky hash trailer
+    # (see module docstring); no children -> headers are trailer-only.
     mesh_props_at = top_props.write(w, meta_index)
-    mesh_obj_at = w.group([mesh_props_at, w.data(b"")])
+    mesh_props_hdr = b"".join(c.header(meta_index)
+                              for c in top_props.children)
+    mesh_trailer = spooky_hash128(mesh_props_hdr) + spooky_hash128(b"")
+    mesh_obj_at = w.group([mesh_props_at, w.data(mesh_trailer)])
 
     # top object: one child ("mesh"), empty own property set
     empty_props = w.group([w.data(b"")])  # compound with zero properties
     child_hdr = _name_meta(
         name, "schema=AbcGeom_PolyMesh_v1;schemaObjTitle="
               f"AbcGeom_PolyMesh_v1:{name}", meta_index)
-    top_obj_at = w.group([empty_props, mesh_obj_at, w.data(child_hdr)])
+    top_trailer = spooky_hash128(b"") \
+        + spooky_hash128(child_hdr + mesh_trailer)
+    top_obj_at = w.group([empty_props, mesh_obj_at,
+                          w.data(child_hdr + top_trailer)])
 
     # time samplings: [0] identity (1 sample per cycle, cycle 1.0),
     # [1] uniform at 1/fps
@@ -381,6 +411,12 @@ def read_abc(path: str) -> dict:
         props = _read_compound(r, kids[0]) if kids[0] else {}
         children = {}
         hdr_blob = r.data(kids[-1])
+        if len(hdr_blob) < 32:
+            raise ValueError(
+                f"object headers data is {len(hdr_blob)} bytes; the 32-byte"
+                " [properties|children] hash trailer is mandatory")
+        hashes = hdr_blob[-32:]
+        hdr_blob = hdr_blob[:-32]
         off = 0
         names = []
         while off < len(hdr_blob):
@@ -388,7 +424,8 @@ def read_abc(path: str) -> dict:
             names.append((nm, meta))
         for (nm, meta), child_at in zip(names, kids[1:-1]):
             children[nm] = dict(read_object(child_at), meta=meta)
-        return {"props": props, "children": children}
+        return {"props": props, "children": children,
+                "properties_hash": hashes[:16], "children_hash": hashes[16:]}
 
     top = read_object(root[2])
     return {"file_version": file_version, "lib_version": lib_version,

@@ -11,18 +11,20 @@ from __future__ import annotations
 
 import ctypes
 import os
+import struct
 import subprocess
 
 import numpy as np
 
 __all__ = ["vertex_inpaint", "vertex_inpaint_numpy", "native_available",
            "marching_cubes", "qem_simplify", "build_hierarchy",
-           "trilinear_upsample", "shell_indices"]
+           "trilinear_upsample", "shell_indices", "murmur3_x64_128",
+           "spooky_hash128"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmotion324_native.so")
 _SOURCES = ["mesh_processor.cpp", "marching_cubes.cpp", "qem_simplify.cpp",
-            "grid_hierarchy.cpp", "trilinear.cpp", "shell.cpp"]
+            "grid_hierarchy.cpp", "trilinear.cpp", "shell.cpp", "hashes.cpp"]
 _lib = None
 _build_failed = False
 
@@ -391,3 +393,223 @@ def shell_indices(volume: np.ndarray, band: float, iters: int,
             continue
         return None
     return None
+
+
+# --------------------------------------------------------------------------- #
+# 128-bit hashes for Alembic sample keys / object hash trailers (io/abc.py)
+# --------------------------------------------------------------------------- #
+def _rotl64(x: int, r: int) -> int:
+    x &= 0xFFFFFFFFFFFFFFFF
+    return ((x << r) | (x >> (64 - r))) & 0xFFFFFFFFFFFFFFFF
+
+
+def murmur3_x64_128_numpy(data: bytes, seed: int = 0) -> bytes:
+    """Pure-Python MurmurHash3_x64_128 (Appleby, public domain) — the oracle
+    for the C++ path; golden-vector-tested against the canonical C++
+    implementation in tests/test_hashes.py."""
+    M = 0xFFFFFFFFFFFFFFFF
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed & 0xFFFFFFFF
+    length = len(data)
+    nblocks = length // 16
+    if nblocks:
+        blocks = np.frombuffer(data[:nblocks * 16], "<u8").reshape(-1, 2)
+        for k1, k2 in blocks.tolist():
+            k1 = _rotl64(k1 * c1 & M, 31) * c2 & M
+            h1 = (_rotl64(h1 ^ k1, 27) + h2) & M
+            h1 = (h1 * 5 + 0x52DCE729) & M
+            k2 = _rotl64(k2 * c2 & M, 33) * c1 & M
+            h2 = (_rotl64(h2 ^ k2, 31) + h1) & M
+            h2 = (h2 * 5 + 0x38495AB5) & M
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    for i in range(min(len(tail), 16) - 1, 7, -1):
+        k2 |= tail[i] << (8 * (i - 8))
+    for i in range(min(len(tail), 8) - 1, -1, -1):
+        k1 |= tail[i] << (8 * i)
+    if len(tail) > 8:
+        h2 ^= _rotl64(k2 * c2 & M, 33) * c1 & M
+    if len(tail) > 0:
+        h1 ^= _rotl64(k1 * c1 & M, 31) * c2 & M
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+
+    def fmix(k):
+        k ^= k >> 33
+        k = k * 0xFF51AFD7ED558CCD & M
+        k ^= k >> 33
+        k = k * 0xC4CEB9FE1A85EC53 & M
+        return k ^ (k >> 33)
+
+    h1, h2 = fmix(h1), fmix(h2)
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    return struct.pack("<QQ", h1, h2)
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """16-byte MurmurHash3_x64_128 digest (C++ fast path, Python fallback).
+
+    This is the hash Alembic >= 1.5 computes for array/scalar sample keys
+    (seed = POD byte size); consumed by :mod:`motion324_tpu.io.abc`.
+    """
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "murmur3_x64_128"):
+        return murmur3_x64_128_numpy(data, seed)
+    buf = np.frombuffer(data, np.uint8) if data else np.empty(0, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    out = np.empty(2, np.uint64)
+    lib.murmur3_x64_128(buf.ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_uint64(len(data)), ctypes.c_uint32(seed),
+                        out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()
+
+
+def spooky_hash128_numpy(data: bytes, seed1: int = 0, seed2: int = 0) -> bytes:
+    """Pure-Python SpookyHash V2 (Jenkins, public domain), 128-bit one-shot.
+
+    Mirror of the C++ path in hashes.cpp; no independent oracle exists in
+    this environment (no egress) — parity between the two in-repo
+    implementations is what tests can check, external conformance is on the
+    io/abc.py FIRST_CONTACT checklist.
+    """
+    M = 0xFFFFFFFFFFFFFFFF
+    SC = 0xDEADBEEFDEADBEEF
+    length = len(data)
+
+    if length < 192:
+        remainder = length % 32
+        a, b, c, d = seed1 & M, seed2 & M, SC, SC
+
+        def short_mix(h):
+            h[2] = (_rotl64(h[2], 50) + h[3]) & M; h[0] ^= h[2]
+            h[3] = (_rotl64(h[3], 52) + h[0]) & M; h[1] ^= h[3]
+            h[0] = (_rotl64(h[0], 30) + h[1]) & M; h[2] ^= h[0]
+            h[1] = (_rotl64(h[1], 41) + h[2]) & M; h[3] ^= h[1]
+            h[2] = (_rotl64(h[2], 54) + h[3]) & M; h[0] ^= h[2]
+            h[3] = (_rotl64(h[3], 48) + h[0]) & M; h[1] ^= h[3]
+            h[0] = (_rotl64(h[0], 38) + h[1]) & M; h[2] ^= h[0]
+            h[1] = (_rotl64(h[1], 37) + h[2]) & M; h[3] ^= h[1]
+            h[2] = (_rotl64(h[2], 62) + h[3]) & M; h[0] ^= h[2]
+            h[3] = (_rotl64(h[3], 34) + h[0]) & M; h[1] ^= h[3]
+            h[0] = (_rotl64(h[0], 5) + h[1]) & M; h[2] ^= h[0]
+            h[1] = (_rotl64(h[1], 36) + h[2]) & M; h[3] ^= h[1]
+
+        pos = 0
+        if length > 15:
+            h = [a, b, c, d]
+            for pos in range(0, (length // 32) * 32, 32):
+                w = struct.unpack_from("<4Q", data, pos)
+                h[2] = (h[2] + w[0]) & M
+                h[3] = (h[3] + w[1]) & M
+                short_mix(h)
+                h[0] = (h[0] + w[2]) & M
+                h[1] = (h[1] + w[3]) & M
+            pos = (length // 32) * 32
+            if remainder >= 16:
+                w = struct.unpack_from("<2Q", data, pos)
+                h[2] = (h[2] + w[0]) & M
+                h[3] = (h[3] + w[1]) & M
+                short_mix(h)
+                pos += 16
+                remainder -= 16
+            a, b, c, d = h
+        d = (d + ((length << 56) & M)) & M
+        rb = data[pos:pos + remainder] + b"\x00" * (16 - remainder)
+        if remainder == 0:
+            c = (c + SC) & M
+            d = (d + SC) & M
+        elif remainder <= 3:
+            c = (c + int.from_bytes(rb[:remainder], "little")) & M
+        elif remainder <= 7:
+            c = (c + int.from_bytes(rb[:max(4, remainder)][:remainder],
+                                    "little")) & M
+        elif remainder == 8:
+            c = (c + struct.unpack("<Q", rb[:8])[0]) & M
+        elif remainder <= 11:
+            d = (d + int.from_bytes(rb[8:remainder], "little")) & M
+            c = (c + struct.unpack("<Q", rb[:8])[0]) & M
+        elif remainder == 12:
+            d = (d + struct.unpack("<I", rb[8:12])[0]) & M
+            c = (c + struct.unpack("<Q", rb[:8])[0]) & M
+        else:  # 13..15
+            d = (d + int.from_bytes(rb[8:remainder], "little")) & M
+            c = (c + struct.unpack("<Q", rb[:8])[0]) & M
+        h = [a, b, c, d]
+        # short_end
+        h[3] ^= h[2]; h[2] = _rotl64(h[2], 15); h[3] = (h[3] + h[2]) & M
+        h[0] ^= h[3]; h[3] = _rotl64(h[3], 52); h[0] = (h[0] + h[3]) & M
+        h[1] ^= h[0]; h[0] = _rotl64(h[0], 26); h[1] = (h[1] + h[0]) & M
+        h[2] ^= h[1]; h[1] = _rotl64(h[1], 51); h[2] = (h[2] + h[1]) & M
+        h[3] ^= h[2]; h[2] = _rotl64(h[2], 28); h[3] = (h[3] + h[2]) & M
+        h[0] ^= h[3]; h[3] = _rotl64(h[3], 9); h[0] = (h[0] + h[3]) & M
+        h[1] ^= h[0]; h[0] = _rotl64(h[0], 47); h[1] = (h[1] + h[0]) & M
+        h[2] ^= h[1]; h[1] = _rotl64(h[1], 54); h[2] = (h[2] + h[1]) & M
+        h[3] ^= h[2]; h[2] = _rotl64(h[2], 32); h[3] = (h[3] + h[2]) & M
+        h[0] ^= h[3]; h[3] = _rotl64(h[3], 25); h[0] = (h[0] + h[3]) & M
+        h[1] ^= h[0]; h[0] = _rotl64(h[0], 63); h[1] = (h[1] + h[0]) & M
+        return struct.pack("<QQ", h[0], h[1])
+
+    # long-message path
+    s = [0] * 12
+    s[0] = s[3] = s[6] = s[9] = seed1 & M
+    s[1] = s[4] = s[7] = s[10] = seed2 & M
+    s[2] = s[5] = s[8] = s[11] = SC
+
+    rot = (11, 32, 43, 31, 17, 28, 39, 57, 55, 54, 22, 46)
+
+    def mix(w):
+        for i in range(12):
+            s[i] = (s[i] + w[i]) & M
+            s[(i + 2) % 12] ^= s[(i + 10) % 12]
+            s[(i + 11) % 12] ^= s[i]
+            s[i] = _rotl64(s[i], rot[i])
+            s[(i + 11) % 12] = (s[(i + 11) % 12] + s[(i + 1) % 12]) & M
+
+    nblocks = length // 96
+    for i in range(nblocks):
+        mix(struct.unpack_from("<12Q", data, i * 96))
+    remainder = length - nblocks * 96
+    tail = bytearray(96)
+    tail[:remainder] = data[nblocks * 96:]
+    tail[95] = remainder
+    w = struct.unpack("<12Q", bytes(tail))
+
+    def end_partial(h):
+        h[11] = (h[11] + h[1]) & M; h[2] ^= h[11]; h[1] = _rotl64(h[1], 44)
+        h[0] = (h[0] + h[2]) & M; h[3] ^= h[0]; h[2] = _rotl64(h[2], 15)
+        h[1] = (h[1] + h[3]) & M; h[4] ^= h[1]; h[3] = _rotl64(h[3], 34)
+        h[2] = (h[2] + h[4]) & M; h[5] ^= h[2]; h[4] = _rotl64(h[4], 21)
+        h[3] = (h[3] + h[5]) & M; h[6] ^= h[3]; h[5] = _rotl64(h[5], 38)
+        h[4] = (h[4] + h[6]) & M; h[7] ^= h[4]; h[6] = _rotl64(h[6], 33)
+        h[5] = (h[5] + h[7]) & M; h[8] ^= h[5]; h[7] = _rotl64(h[7], 10)
+        h[6] = (h[6] + h[8]) & M; h[9] ^= h[6]; h[8] = _rotl64(h[8], 13)
+        h[7] = (h[7] + h[9]) & M; h[10] ^= h[7]; h[9] = _rotl64(h[9], 38)
+        h[8] = (h[8] + h[10]) & M; h[11] ^= h[8]; h[10] = _rotl64(h[10], 53)
+        h[9] = (h[9] + h[11]) & M; h[0] ^= h[9]; h[11] = _rotl64(h[11], 42)
+        h[10] = (h[10] + h[0]) & M; h[1] ^= h[10]; h[0] = _rotl64(h[0], 54)
+
+    for i in range(12):
+        s[i] = (s[i] + w[i]) & M
+    end_partial(s)
+    end_partial(s)
+    end_partial(s)
+    return struct.pack("<QQ", s[0], s[1])
+
+
+def spooky_hash128(data: bytes, seed1: int = 0, seed2: int = 0) -> bytes:
+    """16-byte SpookyHash V2 digest (C++ fast path, Python fallback) — used
+    for the AbcCoreOgawa per-object [properties | children] hash trailer."""
+    lib = _get_lib()
+    if lib is None or not hasattr(lib, "spooky_hash128"):
+        return spooky_hash128_numpy(data, seed1, seed2)
+    buf = np.frombuffer(data, np.uint8) if data else np.empty(0, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    out = np.empty(2, np.uint64)
+    lib.spooky_hash128(buf.ctypes.data_as(ctypes.c_void_p),
+                       ctypes.c_uint64(len(data)), ctypes.c_uint64(seed1),
+                       ctypes.c_uint64(seed2),
+                       out.ctypes.data_as(ctypes.c_void_p))
+    return out.tobytes()

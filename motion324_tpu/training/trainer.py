@@ -71,6 +71,10 @@ class Trainer:
         # must carry the stage fields, so it is derived here when the
         # trainer builds the model itself.
         self.mode = str(cfg.training.get("parallel_mode", "shard_map"))
+        if self.mode not in ("shard_map", "gspmd", "pp"):
+            raise ValueError(
+                f"training.parallel_mode={self.mode!r} is not one of "
+                "'shard_map', 'gspmd', 'pp'")
         self.accum = int(cfg.training.get("grad_accum_steps", 1))
         if self.mode != "shard_map" and self.accum > 1:
             raise ValueError(

@@ -34,16 +34,26 @@ def greedy_shards(items_with_cost: list[tuple], n_shards: int):
     return shards
 
 
+def _natural_key(name: str):
+    """Digit runs compare numerically (reference natsorted alg=ns.PATH,
+    hunyuan_Gen.py:178): 'frame_2.jpg' < 'frame_10.jpg' even unpadded."""
+    import re
+    return [int(tok) if tok.isdigit() else tok
+            for tok in re.split(r"(\d+)", name)]
+
+
 def scan_jobs(input_root: str, skip: int):
     """``(frame paths, clip length)`` per ``*_processed/masked_rgb`` clip —
     every ``skip``'th frame of each clip gets its own generation job
     (reference hunyuan_Gen.py:180); cost for shard balancing is the clip's
     full frame count."""
+    if skip < 1:
+        raise ValueError(f"--skip must be >= 1, got {skip}")
     jobs = []
     for name in sorted(os.listdir(input_root)):
         rgb_dir = os.path.join(input_root, name, "masked_rgb")
         if os.path.isdir(rgb_dir):
-            frames = sorted(os.listdir(rgb_dir))
+            frames = sorted(os.listdir(rgb_dir), key=_natural_key)
             picked = [os.path.join(rgb_dir, f)
                       for i, f in enumerate(frames) if i % skip == 0]
             if picked:
@@ -73,6 +83,8 @@ def main(argv=None):
                         "views/ folder with front/left/back/right images "
                         "(reference MVImageProcessorV2 + DinoImageEncoderMV)")
     args = p.parse_args(argv)
+    if args.skip < 1:
+        p.error(f"--skip must be >= 1, got {args.skip}")
 
     from motion324_tpu.utils.jit_cache import enable_compilation_cache
     enable_compilation_cache()
@@ -88,15 +100,7 @@ def main(argv=None):
     from motion324_tpu.io.glb import export_glb
     from motion324_tpu.utils.logging import log
 
-    jobs = []  # (frame paths for one clip — every --skip'th frame, cost)
-    for name in sorted(os.listdir(args.input_root)):
-        rgb_dir = os.path.join(args.input_root, name, "masked_rgb")
-        if os.path.isdir(rgb_dir):
-            frames = sorted(os.listdir(rgb_dir))
-            picked = [os.path.join(rgb_dir, f)
-                      for i, f in enumerate(frames) if i % args.skip == 0]
-            if picked:
-                jobs.append((tuple(picked), len(frames)))
+    jobs = scan_jobs(args.input_root, args.skip)
     if not jobs:
         log(f"no *_processed/masked_rgb jobs under {args.input_root}")
         return 1

@@ -85,15 +85,36 @@ def test_static_roundtrip(tmp_path):
 
 
 def test_sample_keys_are_payload_hashes(tmp_path):
-    """Each sample blob = 16-byte key + payload; key matches the payload."""
-    import hashlib
+    """Each sample blob = 16-byte key + payload; the key is the Alembic
+    ArraySample key: MurmurHash3_x64_128(payload, seed=POD byte size)."""
+    from motion324_tpu.native import murmur3_x64_128
     path = str(tmp_path / "k.abc")
     export_animated_abc(path, V, F, _frames(2))
     buf = open(path, "rb").read()
     payload = np.ascontiguousarray(F.reshape(-1).astype("<i4")).tobytes()
-    key = hashlib.md5(payload).digest()
+    key = murmur3_x64_128(payload, seed=4)  # int32 POD -> seed 4
     at = buf.find(key)
     assert at > 0 and buf[at + 16:at + 16 + len(payload)] == payload
+    # f64 bounds sample seeds with 8
+    bpayload = np.concatenate(
+        [_frames(2)[0].min(0), _frames(2)[0].max(0)]).astype("<f8").tobytes()
+    bkey = murmur3_x64_128(bpayload, seed=8)
+    assert buf.find(bkey) > 0
+
+
+def test_object_hash_trailer(tmp_path):
+    """Every object's child-headers data carries the mandatory 32-byte
+    [properties|children] hash trailer and the reader exposes it."""
+    path = str(tmp_path / "t.abc")
+    export_animated_abc(path, V, F, _frames(2), name="blob")
+    arc = read_abc(path)
+    obj = arc["objects"]["blob"]
+    assert len(obj["properties_hash"]) == 16
+    assert len(obj["children_hash"]) == 16
+    # a leaf object's children hash is the spooky digest of empty input
+    from motion324_tpu.native import spooky_hash128
+    assert obj["children_hash"] == spooky_hash128(b"")
+    assert obj["properties_hash"] != obj["children_hash"]
 
 
 def test_convert_cli_writes_abc(tmp_path):
