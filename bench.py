@@ -5,7 +5,9 @@ the REAL reference assets — chili.glb (13 465 verts, 2048^2 texture) +
 chili.mp4 (720^2) from /root/reference/examples — covering video decode,
 foreground segmentation, mesh load + unit-cube normalisation, 16384 textured
 surface samples, model inference (shape encode, video encode, chunked point
-decode), trajectory smoothing, and animated-GLB export. BASELINE target:
+decode), trajectory smoothing, and animated-GLB export. The headline runs
+with the REAL U2Net segmentation network (random init) in the pipeline; the
+cheap border-statistics fallback is a secondary A/B. BASELINE target:
 < 5 s per 32-frame clip on v5e. Weights are random (no reference checkpoints
 exist in this environment); the compute path and data movement are identical
 to a converted-weights run. Falls back to the synthetic blob assets when the
@@ -85,12 +87,26 @@ def main():
 
     pipeline = MotionPipeline(cfg, params, window=T)
 
+    # The HEADLINE runs with the REAL U2Net segmentation network in the
+    # pipeline (random weights — no released weights exist here; compute and
+    # data movement are identical to a converted-weights run). The
+    # border-statistics fallback is timed as a secondary A/B below.
+    from motion324_tpu.inference.segmentation import U2Net
+    seg_net = U2Net(dtype=jnp.bfloat16)
+    seg_params = jax.jit(seg_net.init)(jax.random.PRNGKey(1),
+                                       jnp.zeros((1, 64, 64, 3)))
+
     out_dir = "/tmp/motion324_bench/out"
     run = lambda: pipeline.run(mesh_path, video_path, out_dir,
-                               num_shape_samples=N_SHAPE, max_frames=T)
+                               num_shape_samples=N_SHAPE, max_frames=T,
+                               segmentation_params=seg_params)
+    run_fallback = lambda: pipeline.run(mesh_path, video_path, out_dir,
+                                        num_shape_samples=N_SHAPE,
+                                        max_frames=T)
 
     t0 = time.perf_counter()
     run()  # compile + warm caches
+    run_fallback()  # warm the fallback-segmentation program variant too
     # warm the I420-wire program variant NOW too (same jitted callables via
     # programs_from; the dict-shaped video input is a new trace -> its XLA
     # compile cost 50 s mid-bench in r3 when it first ran inside the A/B)
@@ -113,12 +129,24 @@ def main():
         times.append(time.perf_counter() - t0)
     e2e = float(np.percentile(times, 50))
     p90 = float(np.percentile(times, 90))
-    log(f"e2e per 32-frame clip over {len(times)} runs: p50 {e2e:.3f}s  "
+    log(f"e2e per 32-frame clip (REAL U2Net segmentation in the pipeline) "
+        f"over {len(times)} runs: p50 {e2e:.3f}s  "
         f"p90 {p90:.3f}s  min {min(times):.3f}s  max {max(times):.3f}s  "
         f"(spread is host-load-sensitive; see module docstring)")
     extra["e2e_sec"] = {"p50": round(e2e, 3), "p90": round(p90, 3),
                         "min": round(min(times), 3),
-                        "max": round(max(times), 3), "runs": len(times)}
+                        "max": round(max(times), 3), "runs": len(times),
+                        "segmentation": "u2net_random_init"}
+
+    # ---- secondary: border-statistics fallback segmentation A/B ------------
+    try:
+        ft = [_timed(run_fallback) for _ in range(5)]
+        f_p50 = float(np.percentile(ft, 50))
+        log(f"fallback-segmentation A/B: p50 {f_p50:.3f}s over {len(ft)} "
+            f"runs (border-statistics in-graph; headline uses real U2Net)")
+        extra["fallback_seg_p50_sec"] = round(f_p50, 3)
+    except Exception as e:
+        log(f"fallback-seg A/B skipped: {e}")
 
     # ---- secondary: long-video sliding-window throughput -------------------
     try:

@@ -151,7 +151,11 @@ def convert_motion_checkpoint(sd: dict, n_pairs: int = 8, pcd_layers: int = 4,
                    for k, v in sd.items()
                    if k.startswith("image_encoder.model.")}
         if dino_sd:
-            params["image_encoder"] = convert_dinov2_vitb14(dino_sd)
+            depth = 0
+            while f"blocks.{depth}.norm1.weight" in dino_sd:
+                depth += 1
+            params["image_encoder"] = convert_dinov2_vitb14(dino_sd,
+                                                            depth=depth)
     return {"params": params}
 
 

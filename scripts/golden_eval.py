@@ -97,11 +97,16 @@ def _maybe(path: str | None):
 def run_motion_config(name: str, mesh_path: str | None, video_path: str,
                       out_root: str, *, smoke: bool, checkpoint: str | None,
                       hy3d_ckpt: str | None, tower_weights: str | None,
-                      max_frames: int | None, resolution: int):
+                      max_frames: int | None, resolution: int,
+                      u2net: str | None = None, paint_unet: str | None = None,
+                      paint_vae: str | None = None, frames: int | None = None):
     """Configs 1/2/4 (mesh+video) and 3 (video-only when mesh_path=None)."""
     out_dir = os.path.join(out_root, name)
     os.makedirs(out_dir, exist_ok=True)
     overrides = ["training.frames=4"] if smoke else []
+    if frames and not smoke:
+        overrides = [f"training.frames={frames}",
+                     "training.num_shape_samples=16384"]
 
     if mesh_path is not None:
         import inference_with_video_mesh as cli
@@ -111,6 +116,8 @@ def run_motion_config(name: str, mesh_path: str | None, video_path: str,
             argv += ["--checkpoint", checkpoint]
         if max_frames:
             argv += ["--max-frames", str(max_frames)]
+        if u2net:
+            argv += ["--u2net", u2net]
         cli.main(argv + overrides)
     else:
         import inference_with_video_only as cli
@@ -126,6 +133,11 @@ def run_motion_config(name: str, mesh_path: str | None, video_path: str,
             argv += ["--max-frames", str(max_frames)]
         if hy3d_ckpt:
             argv += ["--hy3d-ckpt", hy3d_ckpt]
+        if u2net:
+            argv += ["--u2net", u2net]
+        if paint_unet and paint_vae:
+            argv += ["--texture", "--paint-unet", paint_unet,
+                     "--paint-vae", paint_vae]
         rc = cli.main(argv + overrides)
         if rc:
             return {"status": "empty_mesh",
@@ -235,6 +247,9 @@ def main(argv=None):
                                or _maybe(os.path.join(w, "motion_orbax")))
     hy3d = None if smoke else _maybe(os.path.join(w, "hy3d_dit.ckpt"))
     towers = None if smoke else _maybe(os.path.join(w, "towers"))
+    u2net = None if smoke else _maybe(os.path.join(w, "u2net.pt"))
+    paint_u = None if smoke else _maybe(os.path.join(w, "paint_unet.pt"))
+    paint_v = None if smoke else _maybe(os.path.join(w, "paint_vae.pt"))
 
     if smoke:
         blob_glb = os.path.join(SYNTH, "blob.glb")
@@ -250,20 +265,22 @@ def main(argv=None):
                          max_frames=None, resolution=64),
         }
     else:
+        # frames=256 / 16384 shape samples = the shipped inference config
+        # (reference scripts/4D_from_existing.sh:55-66)
         wolf_glb = _maybe(os.path.join(assets, "wolf.glb"))
         plan = {
             "chili": dict(mesh_path=os.path.join(assets, "chili.glb"),
                           video_path=os.path.join(assets, "chili.mp4"),
-                          max_frames=32, resolution=512),
+                          max_frames=32, resolution=512, frames=256),
             "wolf": dict(mesh_path=wolf_glb,
                          video_path=os.path.join(assets, "wolf.mp4"),
-                         max_frames=32, resolution=512),
+                         max_frames=32, resolution=512, frames=256),
             "tiger": dict(mesh_path=None,
                           video_path=os.path.join(assets, "tiger.mp4"),
-                          max_frames=32, resolution=512),
+                          max_frames=32, resolution=512, frames=256),
             "long": dict(mesh_path=os.path.join(assets, "chili.glb"),
                          video_path=os.path.join(assets, "chili.mp4"),
-                         max_frames=128, resolution=512),
+                         max_frames=128, resolution=512, frames=256),
         }
 
     selected = args.configs or ["chili", "wolf", "tiger", "long", "train"]
@@ -278,7 +295,8 @@ def main(argv=None):
             else:
                 res = run_motion_config(
                     name, out_root=args.output, smoke=smoke, checkpoint=ckpt,
-                    hy3d_ckpt=hy3d, tower_weights=towers, **plan[name])
+                    hy3d_ckpt=hy3d, tower_weights=towers, u2net=u2net,
+                    paint_unet=paint_u, paint_vae=paint_v, **plan[name])
         except Exception:
             res = {"status": "error",
                    "traceback": traceback.format_exc(limit=12)}

@@ -44,6 +44,10 @@ def main(argv=None):
     parser.add_argument("--no-segmentation", action="store_true",
                         help="skip foreground masking (reference default is "
                              "use_segmentation=True, 4D_from_existing.sh:62)")
+    parser.add_argument("--u2net", default=None,
+                        help="U2Net .pt weights: run the real segmentation "
+                             "network instead of the border-statistics "
+                             "fallback (reference inference_utils.py:237)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -95,6 +99,13 @@ def main(argv=None):
     if args.parallel:
         from motion324_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=1, mp=len(jax.devices()))
+    seg_params = None
+    if args.u2net:
+        from motion324_tpu.utils.torch_convert import (convert_u2net,
+                                                       load_torch_state_dict)
+        seg_params = convert_u2net(load_torch_state_dict(args.u2net))
+        log(f"loaded U2Net segmentation weights from {args.u2net}")
+
     pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
                               mesh=mesh, parallel=args.parallel or "tp",
                               u16_readback=not args.exact,
@@ -103,7 +114,8 @@ def main(argv=None):
                        num_shape_samples=int(cfg.training.get(
                            "num_shape_samples", 16384)),
                        smooth=not args.no_smooth, max_frames=args.max_frames,
-                       use_segmentation=not args.no_segmentation)
+                       use_segmentation=not args.no_segmentation,
+                       segmentation_params=seg_params)
     log(f"done: {out}")
 
 

@@ -44,6 +44,16 @@ def main(argv=None):
                         help="tiny random shape pipeline (CI smoke: the "
                              "full-dim random conditioner is minutes of "
                              "wasted CPU when no weights exist anyway)")
+    parser.add_argument("--u2net", default=None,
+                        help="U2Net .pt weights for the frame segmentation "
+                             "stage (else border-statistics fallback; "
+                             "reference rmbg_for_black_bg.py:26)")
+    parser.add_argument("--paint-unet", default=None,
+                        help="HunyuanPaint UNet2p5D .pt (diffusers layout); "
+                             "with --paint-vae enables the real multiview "
+                             "diffusion texture synthesizer")
+    parser.add_argument("--paint-vae", default=None,
+                        help="SD AutoencoderKL .pt for the paint pipeline")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -72,8 +82,15 @@ def main(argv=None):
     os.makedirs(args.output, exist_ok=True)
 
     # ---- stage 1: preprocess ------------------------------------------ #
+    seg_params = None
+    if args.u2net:
+        from motion324_tpu.utils.torch_convert import (convert_u2net,
+                                                       load_torch_state_dict)
+        seg_params = convert_u2net(load_torch_state_dict(args.u2net))
+        log(f"loaded U2Net segmentation weights from {args.u2net}")
     raw = load_video(args.video, args.max_frames)
-    frames, masks, bbox = preprocess_video_frames(raw, size=512)
+    frames, masks, bbox = preprocess_video_frames(raw, size=512,
+                                                  params=seg_params)
     log(f"preprocessed {len(frames)} frames, bbox={bbox}")
 
     # ---- stage 2: shape (+texture) from the first frame ---------------- #
@@ -96,7 +113,27 @@ def main(argv=None):
     log(f"cleaned mesh: {len(mesh.vertices)} verts {len(mesh.faces)} faces")
 
     if args.texture and len(mesh.faces):
-        painter = PaintPipeline()
+        if args.paint_unet and args.paint_vae:
+            import torch
+
+            from motion324_tpu.hy3dgen.paint_diffusion import MultiviewDiffusion
+            unet_sd = {k: v.float().numpy() for k, v in torch.load(
+                args.paint_unet, map_location="cpu",
+                weights_only=True).items()}
+            vae_sd = {k: v.float().numpy() for k, v in torch.load(
+                args.paint_vae, map_location="cpu",
+                weights_only=True).items()}
+            # learned text embeddings live inside the UNet2p5D state dict
+            # (reference modules.py:447-448)
+            text_gen = unet_sd.pop("unet.learned_text_clip_gen")[None]
+            text_ref = unet_sd.pop("unet.learned_text_clip_ref")[None]
+            mv = MultiviewDiffusion.from_diffusers(
+                unet_sd, vae_sd, text_gen, text_ref,
+                context_dim=text_gen.shape[-1])
+            painter = PaintPipeline(multiview_model=mv)
+            log(f"loaded HunyuanPaint weights from {args.paint_unet}")
+        else:
+            painter = PaintPipeline()
         mesh = painter(mesh, frames[0])
     if len(mesh.faces):
         export_glb(os.path.join(args.output, "generated_mesh.glb"),
