@@ -47,7 +47,8 @@ class ShapeGenPipeline:
                  vae_layers: int = 16,
                  image_size: int = 518, dtype: Any = jnp.bfloat16,
                  attn_backend: str | None = None,
-                 conditioner_type: str = "single", view_num: int = 4):
+                 conditioner_type: str = "single", view_num: int = 4,
+                 cond_mlp_type: str = "mlp", cond_native_grid: int = 37):
         self.dit = Hunyuan3DDiT(in_channels=latent_dim,
                                 context_in_dim=cond_dim,
                                 hidden_size=dit_hidden, num_heads=dit_heads,
@@ -72,8 +73,13 @@ class ShapeGenPipeline:
                 embed_dim=cond_dim, depth=cond_depth, num_heads=cond_heads,
                 view_num=view_num, dtype=dtype)
         else:
+            # cond_mlp_type 'swiglu' = the DINOv2-giant FFN of the released
+            # Hunyuan3D-2 conditioner (from_hunyuan_ckpt detects it from the
+            # state dict's weights_in/weights_out keys)
             self.conditioner = DinoViT(embed_dim=cond_dim, depth=cond_depth,
-                                       num_heads=cond_heads, dtype=dtype)
+                                       num_heads=cond_heads, dtype=dtype,
+                                       mlp_type=cond_mlp_type,
+                                       native_grid=cond_native_grid)
         self.view_num = view_num
         self.params = params
         self.num_latents = num_latents
@@ -159,6 +165,9 @@ class ShapeGenPipeline:
         kwargs.setdefault("dit_depth", dit_depth)
         kwargs.setdefault("dit_single", dit_single)
         kwargs.setdefault("dit_hidden", dit_sd["latent_in.weight"].shape[0])
+        # head count from the per-head QK-RMSNorm scale width
+        head_dim = dit_sd["double_blocks.0.img_attn.norm.query_norm.scale"].shape[0]
+        kwargs.setdefault("dit_heads", kwargs["dit_hidden"] // head_dim)
         kwargs.setdefault("latent_dim", dit_sd["latent_in.weight"].shape[1])
         kwargs.setdefault("cond_dim", dit_sd["cond_in.weight"].shape[1])
         vae_layers = count(vae_sd, "transformer.resblocks.{}.")
@@ -177,8 +186,15 @@ class ShapeGenPipeline:
             depth = count(dino_sd, "encoder.layer.{}.")
             swiglu = any("weights_in" in k for k in dino_sd)
             kwargs.setdefault("cond_depth", depth)
-            params["conditioner"] = convert_dinov2_hf(dino_sd, depth=depth,
-                                                      swiglu=swiglu)
+            kwargs.setdefault("cond_mlp_type", "swiglu" if swiglu else "mlp")
+            if "embeddings.position_embeddings" in dino_sd:
+                n_pos = dino_sd["embeddings.position_embeddings"].shape[1]
+                kwargs.setdefault("cond_native_grid",
+                                  int(round((n_pos - 1) ** 0.5)))
+            # convert_dinov2_hf returns a bare param tree; apply() wants the
+            # {'params': ...} collection dict (like init_random produces)
+            params["conditioner"] = {"params": convert_dinov2_hf(
+                dino_sd, depth=depth, swiglu=swiglu)}
         self = cls(params={}, **kwargs)
         self.params = params
         return self

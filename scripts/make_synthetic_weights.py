@@ -188,6 +188,7 @@ def hy3d_ckpt(tiny: bool):
                               num_decoder_layers=2)
         dino_cfg = dict(hidden_size=24, num_hidden_layers=2,
                         num_attention_heads=4, intermediate_size=48,
+                        use_swiglu_ffn=True,  # like the real giant
                         patch_size=14, image_size=28)
     else:
         dit = mod.Hunyuan3DDiT(in_channels=64, context_in_dim=1536,
