@@ -103,7 +103,8 @@ class MultiviewDiffusion:
                  context_dim: int = 1024, dtype: Any = jnp.bfloat16):
         self.unet = unet or UNet2p5D(dtype=dtype, context_dim=context_dim)
         self.vae = vae or AutoencoderKL(dtype=dtype)
-        self.params = params
+        self._dtype = dtype
+        self.params = self._commit(params)
         self.text_len = text_len
         self.context_dim = context_dim
 
@@ -193,6 +194,29 @@ class MultiviewDiffusion:
         self._step = _step
         self._lcm_step_fn = _lcm_step
 
+    def _commit(self, params: dict) -> dict:
+        """Place params on device ONCE, in the compute dtype.
+
+        The denoise loop is a host-side python loop of jitted calls; host
+        numpy params would otherwise re-upload the full UNet (GBs) on EVERY
+        call — catastrophic over a tunneled backend (~25 MB/s). Float leaves
+        are committed as the module compute dtype (the released HunyuanPaint
+        ships fp16; the UNet computes in ``dtype`` regardless), halving HBM
+        residency vs f32."""
+        if not params:
+            return params
+        import numpy as _np
+
+        def cast(a):
+            if isinstance(a, jax.Array):  # already on device (init_random)
+                return a.astype(self._dtype) if jnp.issubdtype(
+                    a.dtype, jnp.floating) else a
+            a = _np.asarray(a)
+            if _np.issubdtype(a.dtype, _np.floating):
+                a = a.astype(self._dtype)  # host-side cast (ml_dtypes bf16)
+            return jax.device_put(a)
+        return jax.tree.map(cast, params)
+
     @classmethod
     def from_diffusers(cls, unet_state_dict: dict, vae_state_dict: dict,
                        text_gen, text_ref, **kw):
@@ -203,12 +227,12 @@ class MultiviewDiffusion:
         from motion324_tpu.utils.sd_convert import (convert_sd_unet,
                                                     convert_sd_vae)
         self = cls(params={}, **kw)
-        self.params = {
+        self.params = self._commit({
             "unet": convert_sd_unet(unet_state_dict),
             "vae": convert_sd_vae(vae_state_dict),
             "text_gen": np.asarray(text_gen, np.float32),
             "text_ref": np.asarray(text_ref, np.float32),
-        }
+        })
         return self
 
     @classmethod
@@ -226,13 +250,13 @@ class MultiviewDiffusion:
         vae_params = jax.jit(
             lambda k: self.vae.init(
                 k, jnp.zeros((1, image_size, image_size, 3))))(k2)
-        self.params = {
+        self.params = self._commit({
             "unet": unet_params, "vae": vae_params,
             "text_gen": jax.random.normal(
                 k3, (1, self.text_len, self.context_dim)) * 0.02,
             "text_ref": jax.random.normal(
                 k3, (1, self.text_len, self.context_dim)) * 0.02,
-        }
+        })
         return self
 
     # ------------------------------------------------------------------ #

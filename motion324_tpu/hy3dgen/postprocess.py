@@ -109,6 +109,11 @@ def reduce_faces(mesh: TriMesh, max_facenum: int = 40000,
         ok = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) \
             & (faces[:, 0] != faces[:, 2])
         faces = faces[ok]
+        if len(faces) > 20_000_000:
+            # row-unique on 1e8+ faces is minutes of structured sort; a
+            # monster mesh here is a decimation PRE-pass (noise-output
+            # guard) and duplicates collapse in the later QEM anyway
+            return reps, faces
         # dedupe faces regardless of rotation
         sorted_f = np.sort(faces, axis=1)
         _, first = np.unique(sorted_f, axis=0, return_index=True)

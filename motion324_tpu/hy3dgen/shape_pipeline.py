@@ -196,7 +196,19 @@ class ShapeGenPipeline:
             params["conditioner"] = {"params": convert_dinov2_hf(
                 dino_sd, depth=depth, swiglu=swiglu)}
         self = cls(params={}, **kwargs)
-        self.params = params
+        # Commit converted numpy params to device ONCE in the compute dtype:
+        # host numpy leaves would re-upload the full tree (conditioner alone
+        # is GBs) on every jitted call — catastrophic over a tunneled
+        # backend — and f32 residency would double HBM vs the fp16 the
+        # released ckpt ships.
+        dtype = self.dit.dtype
+
+        def commit(a):
+            a = np.asarray(a)
+            if np.issubdtype(a.dtype, np.floating):
+                a = a.astype(dtype)
+            return jax.device_put(a)
+        self.params = jax.tree.map(commit, params)
         return self
 
     # ------------------------------------------------------------------ #

@@ -147,6 +147,8 @@ def main(argv=None):
         if not len(mesh.faces):
             log(f"{stem}: empty mesh, skipping")
             continue
+        if len(mesh.faces) > 4_000_000:  # noise-level output guard
+            mesh = reduce_faces(mesh, 2_000_000, method="cluster")
         mesh = reduce_faces(remove_degenerate(remove_floaters(mesh)),
                             args.max_faces)
         if painter is not None:

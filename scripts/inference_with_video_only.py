@@ -107,10 +107,19 @@ def main(argv=None):
         pipe = ShapeGenPipeline.init_random(image_size=518)
     mesh = pipe(frames[0], num_inference_steps=args.steps,
                 octree_resolution=args.octree_resolution)
+    if len(mesh.faces) > 4_000_000:
+        # random/degenerate weights can emit a noise-level occupancy field
+        # whose 385^3 marching-cubes surface has 1e8+ faces; QEM and the
+        # component scan would grind for hours. O(F) grid clustering first.
+        log(f"raw mesh has {len(mesh.faces)} faces (noise-level shape "
+            "output); cluster-decimating before cleanup")
+        mesh = reduce_faces(mesh, 2_000_000, method="cluster")
     mesh = remove_floaters(mesh)
     mesh = remove_degenerate(mesh)
     mesh = reduce_faces(mesh, args.max_faces)
     log(f"cleaned mesh: {len(mesh.vertices)} verts {len(mesh.faces)} faces")
+    pipe.params = None  # release the shape models' HBM before paint/motion
+    del pipe
 
     if args.texture and len(mesh.faces):
         if args.paint_unet and args.paint_vae:
@@ -135,6 +144,8 @@ def main(argv=None):
         else:
             painter = PaintPipeline()
         mesh = painter(mesh, frames[0])
+        painter.multiview_model = None  # release paint HBM before motion
+        del painter
     if len(mesh.faces):
         export_glb(os.path.join(args.output, "generated_mesh.glb"),
                    mesh.vertices, mesh.faces, uv=mesh.uv, texture=mesh.texture)
