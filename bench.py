@@ -210,11 +210,19 @@ def main():
     except Exception as e:
         log(f"batched throughput bench skipped: {e}")
 
-    try:  # structured copy of the stderr secondaries for the record
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_extra.json"), "w") as f:
-            json.dump(extra, f, indent=1)
-    except OSError as e:
+    try:  # structured copy of the stderr secondaries for the record;
+        # MERGE so records written by other benches (paint, golden-real
+        # wall times) survive a bench.py rerun
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_extra.json")
+        merged = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+        merged.update(extra)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+    except (OSError, ValueError) as e:
         log(f"BENCH_extra.json not written: {e}")
 
     print(json.dumps({

@@ -170,7 +170,8 @@ class MotionPipeline:
                  decode_chunk: int = DECODE_CHUNK, mesh=None,
                  parallel: str = "tp", u16_readback: bool = True,
                  yuv420_upload: bool = False,
-                 programs_from: "MotionPipeline | None" = None):
+                 programs_from: "MotionPipeline | None" = None,
+                 seg_params=None):
         import dataclasses
 
         self.cfg = cfg
@@ -178,6 +179,9 @@ class MotionPipeline:
         self.window = window
         self.decode_chunk = decode_chunk
         self.mesh = mesh
+        self._seg = None
+        if seg_params is not None:
+            self.set_segmentation(seg_params)
         # I420 wire format works on the fused single-chip and TP (GSPMD)
         # paths; the SP/PP shard_map programs take a plain video array, so
         # it is dropped there (with a log) rather than crashing in in_specs
@@ -204,6 +208,8 @@ class MotionPipeline:
             self._encode_shape = programs_from._encode_shape
             self._encode_video = programs_from._encode_video
             self._decode = programs_from._decode
+            # shared traces closed over the DONOR's segmentation state
+            self._seg = programs_from._seg
             return
 
         sp_n = 1
@@ -238,16 +244,28 @@ class MotionPipeline:
         def _encode_video_math(model, params, video, mesh_feat, segment):
             # video ships as uint8 (4x less tunnel/host->HBM traffic than
             # f32 — the transfer dominated e2e wall time) or as I420 planes
-            # (6x less; see inference/yuv.py) and normalises in-graph; the
-            # border-statistics segmentation fallback also runs in-graph
-            # (its host numpy version cost ~0.3 s/clip)
+            # (6x less; see inference/yuv.py) and normalises in-graph;
+            # segmentation also runs in-graph: the real U2Net when the
+            # pipeline holds converted weights (set_segmentation), else the
+            # border-statistics fallback (host-segmentation versions cost
+            # 0.3-70 s/clip depending on resolution and wire format)
             x = video
             if isinstance(x, dict):
                 from motion324_tpu.inference.yuv import yuv420_to_rgb
                 x = yuv420_to_rgb(x)
             elif x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
-            if segment:
+            # segment is a STATIC tri-state: False / True ("border") /
+            # "u2net" (requires set_segmentation weights)
+            if segment == "u2net":
+                seg_net, seg_p = self._seg
+                b_, t_, hh, ww, _ = x.shape
+                prob = seg_net.apply(
+                    seg_p, x.reshape(b_ * t_, hh, ww, 3)
+                    .astype(seg_net.dtype))
+                m = (prob > 0.5).reshape(b_, t_, hh, ww)
+                x = x * m.astype(x.dtype)[..., None]
+            elif segment:
                 x = x * _border_segment(x)[..., None]
             return model.apply(params, x, mesh_feat,
                                method=MotionLatentModel.encode_video)
@@ -391,6 +409,28 @@ class MotionPipeline:
         self._decode = _decode
 
     # ------------------------------------------------------------------ #
+    def set_segmentation(self, seg_params) -> None:
+        """Install converted U2Net weights for IN-GRAPH segmentation.
+
+        The mask pass fuses into the video-encode program at model
+        resolution (the reference's rembg session also runs U2Net at a
+        reduced 320^2, not full video res — rmbg_for_black_bg.py:26 — so
+        only the mask's upsample-before-multiply order differs). Must be
+        called before the first segmented encode is traced; params are
+        committed to device once in bf16.
+        """
+        from motion324_tpu.inference.segmentation import U2Net
+        if self._seg is not None:
+            return
+
+        def commit(a):
+            a = np.asarray(a)
+            if np.issubdtype(a.dtype, np.floating):
+                a = a.astype(jnp.bfloat16)
+            return jax.device_put(a)
+        self._seg = (U2Net(dtype=jnp.bfloat16),
+                     jax.tree.map(commit, seg_params))
+
     def _chunked_points(self, inputs):
         """Pad + chunk the decode point arrays to ``(chunks, b, ck, 3)``.
 
@@ -548,7 +588,12 @@ class MotionPipeline:
         model, as the reference does by default in this path (reference:
         scripts/inference_with_video_mesh.py:357-358, 4D_from_existing.sh:62);
         ``segmentation_params`` selects converted U2Net weights, else the
-        border-statistics fallback segments. ``uint8_upload`` quantizes the
+        border-statistics fallback segments; both run IN-GRAPH at model
+        resolution inside the video-encode program (the reference's rembg
+        session also runs U2Net at a reduced 320^2 —
+        rmbg_for_black_bg.py:26 — only the mask upsample-before-multiply
+        order differs; a host full-res segment costs 70+ s/clip over the
+        tunnel and was removed). ``uint8_upload`` quantizes the
         video for a 4x smaller host->device transfer (<=1/510 per-pixel
         error). For EXACT-parity runs against the reference's float
         pipeline, disable this AND construct the pipeline with
@@ -556,32 +601,29 @@ class MotionPipeline:
         quantized to uint16, ~3e-5 error) — the CLI's ``--exact`` flag sets
         both. ``host_resize`` downsamples frames to the model's
         input size on host before upload (see :func:`resize_frames`);
-        disable to reproduce the in-graph resize exactly. Note the
-        border-statistics FALLBACK mask is then estimated at model
-        resolution rather than full resolution — a deliberate deviation
-        (the fallback is already a no-weights substitute; the U2Net-weights
-        path keeps the reference's full-res segment-then-resize order).
+        disable to reproduce the in-graph resize exactly.
         """
         from concurrent.futures import ThreadPoolExecutor
         from motion324_tpu.utils.profiling import phase_timer
         os.makedirs(output_dir, exist_ok=True)
         t0 = time.perf_counter()
 
+        if segmentation_params is not None:
+            # converted U2Net weights fuse into the video-encode program
+            # (same in-graph slot as the border fallback; see
+            # set_segmentation for the resolution-order note)
+            self.set_segmentation(segmentation_params)
+
         def _decode_video():
-            # keep decoded bytes uint8 when they will be uploaded as uint8
-            # anyway (host U2Net segmentation is the one float consumer)
-            want_u8 = uint8_upload and segmentation_params is None
-            # fuse the resize into the decode loop (per frame, before the
+            # decoded bytes stay uint8 (segmentation runs in-graph), and the
+            # resize fuses into the decode loop (per frame, before the
             # stack): keeps the working set at model resolution instead of
             # materialising the full-res clip — measured 4x faster on
-            # 128x720^2 inputs. U2Net segmentation wants full res, so the
-            # weights path keeps the decode-then-segment-then-resize order.
-            fuse = (host_resize and not (use_segmentation
-                                         and segmentation_params is not None))
+            # 128x720^2 inputs
             return load_video(
                 video_path, max_frames,
-                dtype=np.uint8 if want_u8 else np.float32,
-                resize_to=self.cfg.image_size if fuse else None)
+                dtype=np.uint8 if uint8_upload else np.float32,
+                resize_to=self.cfg.image_size if host_resize else None)
 
         # video decode+resize overlaps mesh load+sample on a worker thread
         # (cv2/PIL release the GIL; each side is ~0.1 s of host time per clip)
@@ -593,25 +635,17 @@ class MotionPipeline:
                     mesh, num_shape_samples)
             with phase_timer("video decode (overlapped)"):
                 video = video_fut.result()
-        seg_in_graph = False
-        if use_segmentation and segmentation_params is not None:
-            # converted U2Net weights: device mask pass, applied on host
-            with phase_timer("segmentation"):
-                from motion324_tpu.inference.segmentation import segment_frames
-                mask = segment_frames(video, params=segmentation_params)
-                video = video * mask[..., None]
-        else:
-            # border-statistics fallback fuses into the video-encode program
-            seg_in_graph = use_segmentation
-        log(f"mesh {norm_mesh.vertices.shape[0]} verts, video {video.shape}"
-            f"{' (segmented)' if use_segmentation else ''}")
+        # static in-graph mode: "u2net" when weights were passed to THIS
+        # call, border fallback otherwise, off when masking is disabled
+        seg_in_graph = use_segmentation and (
+            "u2net" if segmentation_params is not None else True)
+        seg_tag = ""
+        if use_segmentation:
+            seg_tag = (" (segmented, u2net)" if seg_in_graph == "u2net"
+                       else " (segmented)")
+        log(f"mesh {norm_mesh.vertices.shape[0]} verts, "
+            f"video {video.shape}{seg_tag}")
 
-        if host_resize and video.shape[1:3] != (self.cfg.image_size,
-                                                self.cfg.image_size):
-            # only reached on the U2Net path (the fallback path resizes
-            # inside the decode thread, before segmentation-free upload)
-            with phase_timer("host resize"):
-                video = resize_frames(video, self.cfg.image_size)
         with phase_timer("model predict"):
             if uint8_upload and video.dtype != np.uint8:
                 # ship the video as uint8: 4x smaller host->device transfer

@@ -1,5 +1,6 @@
 """End-to-end inference pipeline on a tiny model: GLB in -> animated GLB out."""
 
+import dataclasses
 import os
 
 import jax
@@ -282,3 +283,47 @@ def test_programs_from_shares_compiled_programs(pipeline):
     with pytest.raises(ValueError):
         MotionPipeline(SMALL, pipeline.params, window=4, decode_chunk=16,
                        programs_from=pipeline)
+
+
+def test_in_graph_u2net_segmentation(tmp_path):
+    """Converted U2Net weights fuse into the video-encode program: the
+    segmented trace masks background pixels exactly like a host U2Net-
+    then-multiply at the same resolution, and differs from the border
+    fallback trace."""
+    import jax
+
+    from motion324_tpu.inference.segmentation import U2Net
+
+    cfg70 = dataclasses.replace(SMALL, image_size=70)
+    model = MotionLatentModel(cfg70)
+    sample = {k: np.zeros((1, 16, 3), np.float32) for k in
+              ("ref_shape_pcd", "ref_shape_normals", "ref_shape_rgbs",
+               "ref_pcd", "ref_normal", "ref_rgb")}
+    sample["rgb_video"] = np.zeros((1, 2, 70, 70, 3), np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+
+    net = U2Net()
+    seg_params = jax.jit(net.init)(jax.random.PRNGKey(1),
+                                   np.zeros((1, 70, 70, 3), np.float32))
+
+    pipe = MotionPipeline(cfg70, params, window=2, seg_params=seg_params)
+    mesh = TriMesh(vertices=CUBE_V, faces=CUBE_F)
+    inputs, _, _ = prepare_mesh_inputs(mesh, 64)
+    video = np.random.RandomState(3).rand(2, 70, 70, 3).astype(np.float32)
+
+    t_u2 = pipe.predict(inputs, video, segment="u2net")
+    t_border = pipe.predict(inputs, video, segment=True)
+    t_off = pipe.predict(inputs, video, segment=False)
+    assert np.isfinite(t_u2).all()
+    # oracle: the pipeline's own committed (bf16) net applied host-side at
+    # the same resolution -> identical mask -> same trajectories
+    seg_net, seg_p = pipe._seg
+    prob = jax.jit(seg_net.apply)(seg_p, np.asarray(video).astype(
+        seg_net.dtype))
+    mask = np.asarray(prob > 0.5, np.float32)
+    t_host = pipe.predict(inputs, (video * mask[..., None]).astype(
+        np.float32), segment=False)
+    np.testing.assert_allclose(t_u2, t_host, atol=2e-4)
+    # and the three modes genuinely differ (random net masks something)
+    assert np.abs(t_u2 - t_off).max() > 1e-6 or np.abs(
+        t_border - t_off).max() > 1e-6
