@@ -199,11 +199,20 @@ def main():
         log(f"model-only bench skipped: {e}")
 
     # ---- secondary: batched multi-clip throughput (batch_inference --batch)
+    # The decoder's frame-chunk is tuned to the batch: folded (chunk*B)
+    # rows ~32 keep the fused MLP working set at the B=1 sweet spot
+    # (B=8 decode was 69.6 ms/clip at chunk 32, 47.5 at chunk 4 — the
+    # whole-window chunk spills at large B). batch_inference.py applies
+    # the same rule.
     try:
         for b in (4, 8):
-            sec, mfu = _model_only(pipeline, jax, jnp, b=b)
-            log(f"batched clips (B={b}): device {sec:.3f}s/window = "
-                f"{b / sec:.1f} clips/s  MFU {mfu * 100:.1f}%")
+            cfg_b = ModelConfig(dtype=jnp.bfloat16, frames=12,
+                                decode_frames_chunk=max(1, 32 // b))
+            pipe_b = MotionPipeline(cfg_b, pipeline.params, window=T)
+            sec, mfu = _model_only(pipe_b, jax, jnp, b=b)
+            log(f"batched clips (B={b}, decode chunk {32 // b}): device "
+                f"{sec:.3f}s/window = {b / sec:.1f} clips/s  "
+                f"MFU {mfu * 100:.1f}%")
             extra[f"batched_B{b}"] = {"sec_per_window": round(sec, 3),
                                       "clips_per_s": round(b / sec, 1),
                                       "mfu_pct": round(mfu * 100, 1)}

@@ -53,11 +53,18 @@ def main(argv=None):
 
     cfg = load_config(args.config, args.overrides)
     mcfg = ModelConfig.from_config(cfg, dtype="bfloat16", remat=False)
-    # inference is forward-only: decode the whole window per decoder
-    # step (the training-sized chunk left a dispatch-bound frame scan)
+    # inference is forward-only: decode whole frame-chunks per decoder scan
+    # step. The sweet spot is a FOLDED batch (chunk x B) of ~32 rows: at
+    # B=1 the whole window in one step (the training-sized chunk left a
+    # dispatch-bound frame scan), at B=8 a 4-frame chunk — the fused
+    # (chunk*B, N, 4C) MLP working set otherwise spills (measured r5:
+    # B=8 decode 69.6 -> 47.5 ms/clip at chunk 32 -> 4).
     import dataclasses
-    mcfg = dataclasses.replace(mcfg,
-                               decode_frames_chunk=int(cfg.training.frames))
+    window = int(cfg.training.frames)
+    chunk = max(1, min(window, 32 // max(args.batch, 1)))
+    while window % chunk:
+        chunk -= 1
+    mcfg = dataclasses.replace(mcfg, decode_frames_chunk=chunk)
     model = MotionLatentModel(mcfg)
 
     if args.checkpoint and args.checkpoint.endswith(".pt"):
