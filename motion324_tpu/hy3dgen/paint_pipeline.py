@@ -100,7 +100,18 @@ class PaintPipeline:
             from motion324_tpu.hy3dgen.delight import delight_image
             image = delight_image(np.asarray(image, np.float32))
         unwrapped, vmapping = unwrap_uv(mesh, self.texture_size)
-        renderer = MeshRenderer(unwrapped, resolution=self.resolution,
+        # normalize INTO the renderer's canonical box (the reference's
+        # set_mesh does the same before rendering, mesh_render.py:233-261):
+        # the orbit cameras' ortho frustum is 1.2 wide, so a mesh spanning
+        # e.g. [-1, 1] (the shape-gen decode box) otherwise overflows every
+        # view and the bake covers ~0% of the atlas. Texture baking happens
+        # in UV space, so the OUTPUT keeps the original coordinates.
+        v = unwrapped.vertices
+        center = (v.max(0) + v.min(0)) / 2
+        half = float(np.abs(v - center).max()) or 1.0
+        render_mesh = unwrapped.with_vertices(
+            ((v - center) * (0.45 / half)).astype(np.float32))
+        renderer = MeshRenderer(render_mesh, resolution=self.resolution,
                                 texture_size=self.texture_size,
                                 interpret=self.interpret)
 

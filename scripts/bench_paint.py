@@ -101,8 +101,8 @@ def main(argv=None):
         for r in range(n_side - 1):
             for c in range(n_side - 1):
                 a = r * n_side + c
-                faces.append([a, a + 1, a + n_side])
-                faces.append([a + 1, a + n_side + 1, a + n_side])
+                faces.append([a, a + n_side, a + 1])  # outward winding
+                faces.append([a + 1, a + n_side, a + n_side + 1])
         mesh = TriMesh(vertices=verts, faces=np.asarray(faces, np.int64))
 
         painter = PaintPipeline(multiview_model=mv,

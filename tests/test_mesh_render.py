@@ -65,12 +65,24 @@ def test_uv_rasterize_and_bake():
     r = MeshRenderer(mesh, resolution=32, texture_size=32, interpret=True)
     find, bary = r.rasterize_uv()
     assert (np.asarray(find) > 0).sum() > 10
-    views = [(0, 0, 1.0), (180, 0, 0.5)]
-    imgs = [np.full((32, 32, 3), 0.7, np.float32) for _ in views]
-    tex, mask = r.bake(imgs, views)
-    assert tex.shape == (32, 32, 3)
-    if mask.any():
-        np.testing.assert_allclose(tex[mask], 0.7, atol=1e-3)
+
+    # bake-coverage assertion on a REAL unwrap (random UVs scatter texels
+    # onto arbitrary faces, so their bake coverage is meaningless; a former
+    # `if mask.any()` here silently passed 0%-coverage bakes — r5 dry-run
+    # bug). Six ortho views over a properly unwrapped cube must land color
+    # on a solid fraction of the atlas-covered texels.
+    from motion324_tpu.hy3dgen.uv_unwrap import unwrap_uv
+    unwrapped, _ = unwrap_uv(TriMesh(vertices=CUBE_V, faces=CUBE_F), 64)
+    r2 = MeshRenderer(unwrapped, resolution=64, texture_size=64,
+                      interpret=True)
+    find2, _ = r2.rasterize_uv()
+    views = [(a, 0, 1.0) for a in (0, 90, 180, 270)] + [(0, 90, 1.0),
+                                                        (0, -90, 1.0)]
+    imgs = [np.full((64, 64, 3), 0.7, np.float32) for _ in views]
+    tex, mask = r2.bake(imgs, views)
+    covered = np.asarray(find2) > 0
+    assert mask.sum() > 0.3 * covered.sum(), (mask.sum(), covered.sum())
+    np.testing.assert_allclose(tex[mask], 0.7, atol=1e-3)
 
 
 def test_bake_reuses_view_rasterizations():
@@ -90,3 +102,32 @@ def test_bake_reuses_view_rasterizations():
     assert r.raster_calls == 4      # + UV atlas only; views came from cache
     r.bake(imgs, views)
     assert r.raster_calls == 4      # fully cached
+
+
+def test_paint_pipeline_bakes_unnormalized_mesh():
+    """PaintPipeline must normalize ANY input mesh into the renderer's
+    ortho frustum before rendering: a mesh spanning [-1, 1] (the shape-gen
+    decode box) previously overflowed every view and baked 0% of the atlas
+    (r5 dry-run bug). The weight-free reprojection synthesizer suffices."""
+    from motion324_tpu.hy3dgen.paint_pipeline import PaintPipeline
+
+    n_side = 12
+    u, v = np.meshgrid(np.linspace(0, 2 * np.pi, n_side),
+                       np.linspace(0.2, np.pi - 0.2, n_side))
+    verts = np.stack([np.sin(v) * np.cos(u), np.sin(v) * np.sin(u),
+                      np.cos(v)], -1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for r in range(n_side - 1):
+        for c in range(n_side - 1):
+            a = r * n_side + c
+            faces.append([a, a + n_side, a + 1])  # outward winding
+            faces.append([a + 1, a + n_side, a + n_side + 1])
+    mesh = TriMesh(vertices=verts, faces=np.asarray(faces, np.int64))
+
+    painter = PaintPipeline(resolution=32, texture_size=64, delight=False,
+                            interpret=True)
+    out = painter(mesh, np.full((32, 32, 3), 0.5, np.float32))
+    tex = np.asarray(out.texture)
+    assert (tex.sum(-1) > 0).mean() > 0.2, "bake landed (almost) no texels"
+    # output keeps the ORIGINAL coordinates (normalization is render-only)
+    np.testing.assert_allclose(out.vertices.max(), verts.max(), atol=1e-5)
