@@ -233,8 +233,9 @@ def paint_state_dicts(tiny: bool):
         mv = MultiviewDiffusion.init_random(image_size=512)
 
     def t16(sd):
-        return {k: torch.from_numpy(np.asarray(v)).half() for k, v in
-                sd.items()}
+        # via f32: jax commits params in bf16, which torch can't ingest
+        return {k: torch.from_numpy(np.asarray(v, np.float32)).half()
+                for k, v in sd.items()}
 
     unet_sd = synth_unet_sd({"params": mv.params["unet"]["params"]},
                             prefix="unet.")

@@ -91,6 +91,7 @@ print(f"proc {pid}: loss={loss:.5f} ckpt={path} ok", flush=True)
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_cpu_training_and_checkpoint(tmp_path):
     port = _free_port()
     env = dict(os.environ)

@@ -214,6 +214,7 @@ def test_lcm_step_update_matches_reference_math():
         atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_turbo_lcm_synthesizer_few_steps():
     """Turbo synthesizer: 6 views in <= 8 LCM steps (one UNet sweep per
     step, no CFG pair), same output contract as the 30-step Euler path."""

@@ -64,6 +64,7 @@ def test_pp_specs_shard_only_the_stack():
 
 
 @pytest.mark.parametrize("dp,pp,micro", [(2, 4, 2), (4, 2, 2)])
+@pytest.mark.slow
 def test_pp_step_matches_shard_map_dp(dp, pp, micro):
     cfg = _cfg()
     model = MotionLatentModel(SMALL)

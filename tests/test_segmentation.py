@@ -52,6 +52,7 @@ def test_preprocess_video_end_to_end():
     assert out.max() > 0.5
 
 
+@pytest.mark.slow
 def test_u2net_tiny_forward():
     """The architecture runs and produces a [0,1] mask at input resolution.
 

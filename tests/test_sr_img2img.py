@@ -21,6 +21,9 @@ from motion324_tpu.hy3dgen.super_resolution import (Upscaler,
                                                     upscale_x4)
 
 
+pytestmark = pytest.mark.slow  # multi-minute diffusers-class stacks
+
+
 def _tiny_upscaler(prediction_type="v"):
     unet = UNet2p5D(in_channels=7, out_channels=4,
                     block_channels=(8, 8, 8, 8), head_dim=4, context_dim=16,
