@@ -123,3 +123,33 @@ def test_sp_short_video_falls_back_to_replicated():
                        sample["ref_normal"], sample["ref_rgb"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs a multi-device mesh")
+def test_sp_with_in_graph_u2net_segmentation():
+    """In-graph U2Net segmentation composes with the sequence-parallel
+    shard_map encode: the seg params ride as a (replicated) closure capture
+    and each device masks its own frame block (70^2 frames: the smallest
+    size the full U-2-Net pool stack accepts)."""
+    from motion324_tpu.inference.segmentation import U2Net
+
+    cfg = dataclasses.replace(SMALL, image_size=70)
+    model = MotionLatentModel(cfg)
+    sample = _inputs(jax.random.PRNGKey(6), t=8, hw=70)
+    params = model.init(jax.random.PRNGKey(1), sample)
+    net = U2Net()
+    seg_params = jax.jit(net.init)(jax.random.PRNGKey(2),
+                                   jnp.zeros((1, 70, 70, 3)))
+    mesh = make_mesh(dp=1, mp=jax.device_count())
+    pipe = MotionPipeline(cfg, params, window=8, mesh=mesh, parallel="sp",
+                          seg_params=seg_params)
+    inputs = {k: np.asarray(v) for k, v in sample.items()
+              if k != "rgb_video"}
+    video = np.asarray(sample["rgb_video"][0])
+    t_seg = pipe.predict(inputs, video, segment="u2net")
+    assert t_seg.shape == (1, 8, 8, 3)
+    assert np.isfinite(t_seg).all()
+    # masking changes the trajectories vs the unsegmented path
+    t_off = pipe.predict(inputs, video, segment=False)
+    assert np.abs(t_seg - t_off).max() > 1e-7
