@@ -147,56 +147,48 @@ class MeshRenderer:
         reference mesh_render.py:653-757). Returns
         ``(texture (S,S,3), weight (S,S,1))``.
         """
-        if uv_find is None or uv_bary is None:
+        c, w = self._back_project_dev(view_image, elev, azim, cos_power,
+                                      angle_thres_deg)
+        return np.asarray(c), np.asarray(w)
+
+    def _texel_geometry(self):
+        """View-independent per-texel surface geometry, computed ONCE and
+        kept ON DEVICE: position, normal, covered mask from the UV atlas
+        raster. (Recomputing these per view shipped ~50 MB of texel
+        positions over the host link for every back-projection — the bake's
+        dominant cost at 2048^2 x 6 views.)"""
+        if getattr(self, "_texel_geom", None) is None:
             uv_find, uv_bary = self.rasterize_uv()
-        faces = jnp.asarray(self.mesh.faces)
-        texel_pos = interpolate(jnp.asarray(self.mesh.vertices), uv_find,
-                                uv_bary, faces)  # (S,S,3)
-        texel_nrm = interpolate(jnp.asarray(self._vn), uv_find, uv_bary, faces)
-        covered = (np.asarray(uv_find) > 0)
+            faces = jnp.asarray(self.mesh.faces)
+            texel_pos = interpolate(jnp.asarray(self.mesh.vertices), uv_find,
+                                    uv_bary, faces)  # (S,S,3)
+            texel_nrm = interpolate(jnp.asarray(self._vn), uv_find, uv_bary,
+                                    faces)
+            covered = (jnp.asarray(uv_find) > 0).astype(jnp.float32)
+            self._texel_geom = (texel_pos, texel_nrm, covered)
+        return self._texel_geom
 
-        mv = view_matrix(elev, azim, self.camera_distance)
-        clip = transform_points(self.proj @ mv,
-                                np.asarray(texel_pos).reshape(-1, 3))
-        ndc = clip[:, :2] / clip[:, 3:4]
-        h, w = view_image.shape[:2]
-        px = (ndc[:, 0] * 0.5 + 0.5) * (w - 1)
-        py = (0.5 + 0.5 * ndc[:, 1]) * (h - 1)
-        # internal buffers (depth/reliability) stay at self.resolution even
-        # when the view image is larger (e.g. 4x super-resolved views)
-        pxb = (ndc[:, 0] * 0.5 + 0.5) * (self.resolution - 1)
-        pyb = (0.5 + 0.5 * ndc[:, 1]) * (self.resolution - 1)
-
-        color = _bilinear(view_image, px, py).reshape(
-            self.texture_size, self.texture_size, -1)
-
-        # visibility: z-test against the view depth buffer
+    def _back_project_dev(self, view_image, elev: float, azim: float,
+                          cos_power: float, angle_thres_deg: float):
+        """Device back-projection; returns jax arrays (see back_project)."""
+        texel_pos, texel_nrm, covered = self._texel_geometry()
         view = self.render_view(elev, azim)
+        mv = view_matrix(elev, azim, self.camera_distance)
         cam_dir = -(np.linalg.inv(mv[:3, :3]) @ np.array([0, 0, -1.0]))
         view["view_cos"] = np.clip(
             view["normal"] @ cam_dir.astype(np.float32), 0, 1)
         depth_img = view["depth"]
-        z_tex = (clip[:, 2] / clip[:, 3]).reshape(self.texture_size,
-                                                  self.texture_size)
-        z_ref = _bilinear(depth_img[..., None], pxb, pyb)[:, 0].reshape(
-            self.texture_size, self.texture_size)
         vis = view["mask"]
         z_tol = 2e-3 * (float(depth_img[vis].max() - depth_img[vis].min())
                         if vis.any() else 1.0) + 1e-4
-        visible = np.abs(z_tex - z_ref) < max(z_tol, 1e-3)
-
-        # reliability gate, sampled conservatively (all 4 bilinear neighbours
-        # must be reliable — the gather-side equivalent of the reference's
-        # image-space mask shrink before scatter)
         rel = self.reliability_mask(view, angle_thres_deg).astype(np.float32)
-        rel_tex = _bilinear(rel[..., None], pxb, pyb)[:, 0].reshape(
-            self.texture_size, self.texture_size)
-        reliable = rel_tex > 0.999
-
-        cosang = np.asarray(texel_nrm) @ cam_dir.astype(np.float32)
-        weight = np.clip(cosang, 0, 1) ** cos_power
-        weight = weight * covered * visible * reliable
-        return np.asarray(color) * weight[..., None], weight[..., None]
+        return _back_project_math(
+            texel_pos, texel_nrm, covered,
+            jnp.asarray(view_image, jnp.float32),
+            jnp.asarray(depth_img, jnp.float32), jnp.asarray(rel),
+            jnp.asarray((self.proj @ mv).astype(np.float32)),
+            jnp.asarray(cam_dir.astype(np.float32)),
+            float(max(z_tol, 1e-3)), float(cos_power), self.resolution)
 
     def bake(self, view_images, views, cos_power: float = 4.0,
              view_weights=None):
@@ -205,17 +197,20 @@ class MeshRenderer:
 
         ``views``: list of (azim, elev, weight) tuples.
         Returns ``(texture (S,S,3), weight_mask (S,S))``.
+
+        Accumulation stays on device; the texture downloads once at the end
+        (per-view numpy accumulation cost ~80 s at 2048^2 x 6 views).
         """
-        uv_find, uv_bary = self.rasterize_uv()
-        acc = np.zeros((self.texture_size, self.texture_size, 3), np.float32)
-        wacc = np.zeros((self.texture_size, self.texture_size, 1), np.float32)
+        acc = jnp.zeros((self.texture_size, self.texture_size, 3),
+                        jnp.float32)
+        wacc = jnp.zeros((self.texture_size, self.texture_size, 1),
+                         jnp.float32)
         for img, (azim, elev, vw) in zip(view_images, views):
-            c, w = self.back_project(img, elev, azim, uv_find, uv_bary,
-                                     cos_power)
-            acc += c * vw
-            wacc += w * vw
-        tex = acc / np.maximum(wacc, 1e-8)
-        return tex, wacc[..., 0] > 1e-8
+            c, w = self._back_project_dev(img, elev, azim, cos_power, 75.0)
+            acc = acc + c * vw
+            wacc = wacc + w * vw
+        tex = np.asarray(acc / jnp.maximum(wacc, 1e-8))
+        return tex, np.asarray(wacc[..., 0]) > 1e-8
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -232,6 +227,54 @@ def _view_products(pos_clip, faces, vn, verts, resolution, interpret):
     z = interpolate(pos_clip[:, 2:3] / pos_clip[:, 3:4], find, bary,
                     faces)[..., 0]
     return find, bary, normal, position, z
+
+
+def _bilinear_jnp(img, px, py):
+    """jnp mirror of :func:`_bilinear` (same clamp-to-edge sampling)."""
+    h, w = img.shape[:2]
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    fx = jnp.clip(px - x0, 0, 1)[:, None]
+    fy = jnp.clip(py - y0, 0, 1)[:, None]
+    return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+            + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+
+@functools.partial(jax.jit, static_argnums=(10,))
+def _back_project_math(texel_pos, texel_nrm, covered, view_image, depth_img,
+                       rel_img, M, cam_dir, z_tol, cos_power, resolution):
+    """The per-view back-projection math on device (see back_project).
+
+    Identical semantics to the former host-numpy version: project texels
+    into the view, bilinear-sample color, gate by z-visibility against the
+    view depth buffer, by the reliability mask (conservatively: all 4
+    bilinear neighbours reliable), and by cos^power view angle.
+    """
+    s = texel_pos.shape[0]
+    p = texel_pos.reshape(-1, 3)
+    clip = p @ M[:3, :3].T + M[:3, 3]
+    wcol = p @ M[3, :3].T + M[3, 3]
+    ndc = clip[:, :2] / wcol[:, None]
+    h, w = view_image.shape[:2]
+    px = (ndc[:, 0] * 0.5 + 0.5) * (w - 1)
+    py = (0.5 + 0.5 * ndc[:, 1]) * (h - 1)
+    # internal buffers (depth/reliability) stay at the render resolution
+    # even when the view image is larger (e.g. 4x super-resolved views)
+    pxb = (ndc[:, 0] * 0.5 + 0.5) * (resolution - 1)
+    pyb = (0.5 + 0.5 * ndc[:, 1]) * (resolution - 1)
+
+    color = _bilinear_jnp(view_image, px, py).reshape(s, s, -1)
+    z_tex = (clip[:, 2] / wcol).reshape(s, s)
+    z_ref = _bilinear_jnp(depth_img[..., None], pxb, pyb)[:, 0].reshape(s, s)
+    visible = jnp.abs(z_tex - z_ref) < z_tol
+    rel_tex = _bilinear_jnp(rel_img[..., None], pxb, pyb)[:, 0].reshape(s, s)
+    reliable = rel_tex > 0.999
+    cosang = texel_nrm @ cam_dir
+    weight = jnp.clip(cosang, 0, 1) ** cos_power
+    weight = weight * covered * visible * reliable
+    return color * weight[..., None], weight[..., None]
 
 
 def _bilinear(img: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:

@@ -112,11 +112,18 @@ def main(argv=None):
         t0 = time.perf_counter()
         out = painter(mesh, ref)
         e2e = time.perf_counter() - t0
+        # second call = steady state: raster/diffusion/bake programs for
+        # this face count are compiled now (per-mesh host work — unwrap,
+        # inpaint — still runs, as it would per asset)
+        t0 = time.perf_counter()
+        out = painter(mesh, ref)
+        e2e_steady = time.perf_counter() - t0
         print(f"paint e2e ({len(mesh.faces)} faces, texture "
-              f"{args.texture_size}^2): {e2e:.1f}s (incl. any residual "
-              f"compile)  texture {np.shape(out.texture)}",
+              f"{args.texture_size}^2): {e2e_steady:.1f}s steady "
+              f"({e2e:.1f}s incl. compile)  texture {np.shape(out.texture)}",
               file=sys.stderr, flush=True)
-        res["paint_e2e_sec"] = round(e2e, 2)
+        res["paint_e2e_sec"] = round(e2e_steady, 2)
+        res["paint_e2e_sec_incl_compile"] = round(e2e, 2)
 
     if args.out_json:
         merged = {}
