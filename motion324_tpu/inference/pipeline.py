@@ -713,8 +713,11 @@ class MotionPipeline:
                 for k in loaded[idxs[0]][0]}
             videos = np.stack([loaded[i][2] for i in idxs], axis=0)
             t0 = time.perf_counter()
-            trajs = self.predict_batch(batch_inputs, videos,
-                                       segment=use_segmentation)
+            # in-graph U2Net when the pipeline holds weights (ctor
+            # seg_params / set_segmentation), else the border fallback
+            seg = use_segmentation and (
+                "u2net" if self._seg is not None else True)
+            trajs = self.predict_batch(batch_inputs, videos, segment=seg)
             dt = time.perf_counter() - t0
             log(f"batch predict: {len(idxs)} clips x {key[0][0]} frames in "
                 f"{dt:.2f}s ({len(idxs) / dt:.2f} clips/s)")

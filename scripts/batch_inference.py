@@ -33,6 +33,9 @@ def main(argv=None):
                              "long-video windows this driver batches)")
     parser.add_argument("--yuv-upload", action="store_true",
                         help="ship videos as I420 planes (2x smaller upload)")
+    parser.add_argument("--u2net", default=None,
+                        help="U2Net .pt weights: real in-graph segmentation "
+                             "instead of the border-statistics fallback")
     parser.add_argument("--batch", type=int, default=1,
                         help="clips per device program: jobs are grouped by "
                              "decoded video shape and predicted at batch B "
@@ -81,13 +84,21 @@ def main(argv=None):
         params = jax.jit(model.init)(jax.random.PRNGKey(0), example)
         log("WARNING: random weights (no --checkpoint)")
 
+    seg_params = None
+    if args.u2net:
+        from motion324_tpu.utils.torch_convert import (convert_u2net,
+                                                       load_torch_state_dict)
+        seg_params = convert_u2net(load_torch_state_dict(args.u2net))
+        log(f"loaded U2Net segmentation weights from {args.u2net}")
+
     mesh = None
     if args.parallel:
         from motion324_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=1, mp=len(jax.devices()))
-    pipeline = MotionPipeline(mcfg, params, window=int(cfg.training.frames),
+    pipeline = MotionPipeline(mcfg, params, window=window,
                               mesh=mesh, parallel=args.parallel or "tp",
-                              yuv420_upload=args.yuv_upload)
+                              yuv420_upload=args.yuv_upload,
+                              seg_params=seg_params)
 
     with open(args.list_path) as f:
         jobs = [line.split() for line in f if line.strip()
